@@ -1,0 +1,25 @@
+"""Session-scoped Ray fixture — ONE ray.init per pytest session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+def spans_tuples(spans) -> list[tuple]:
+    """Normalize a spans cell (list of dicts / numpy array) to tuples."""
+    if spans is None:
+        return []
+    return [(int(d["start"]), int(d["end"]), str(d["kind"])) for d in spans]

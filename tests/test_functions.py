@@ -1,0 +1,197 @@
+"""Unit tests for the pure per-turn extraction functions (no Ray)."""
+
+from __future__ import annotations
+
+from medical_ocr_pipeline_ray.functions.classify import classify_turn
+from medical_ocr_pipeline_ray.functions.fingerprint import (
+    hamming64, jaccard, lsh_band_keys, minhash_signature, shingles, simhash64)
+from medical_ocr_pipeline_ray.functions.html_extract import extract_html
+from medical_ocr_pipeline_ray.functions.markdown_seg import segment_markdown
+from medical_ocr_pipeline_ray.functions.ocr_correct import (
+    apply_dictionary, apply_fuzzy, apply_rules, correct_text, digits_pattern,
+    should_correct)
+from medical_ocr_pipeline_ray.functions.pdfblocks import (
+    extract_pdf_payload, parse_payload)
+from medical_ocr_pipeline_ray.functions.textstats import (
+    fingerprint_md5, lang_guess, quality_counts, token_count)
+from medical_ocr_pipeline_ray.synth import FUZZY_PAIRS
+
+
+class TestOcrCorrect:
+    def test_rules(self):
+        assert apply_rules("a • b — c × d   e") == "a - b - c x d e"
+
+    def test_dictionary_case_aware(self):
+        assert apply_dictionary("necrosls and Necrosls and NECROSLS") == \
+            "necrosis and Necrosis and NECROSIS"
+
+    def test_fuzzy_pairs_all_recover(self):
+        for wrong, right in FUZZY_PAIRS:
+            assert apply_fuzzy(wrong) == right, wrong
+            assert apply_fuzzy(wrong.capitalize()) == right.capitalize()
+
+    def test_fuzzy_leaves_vocab_and_acronyms(self):
+        assert apply_fuzzy("patient normal ABC") == "patient normal ABC"
+
+    def test_digit_invariance_reverts_fuzzy(self):
+        # a fuzzy change that would alter digits must be rejected wholesale
+        base = "dose 100 mg examinaton"
+        out = correct_text(base)
+        assert digits_pattern(out) == digits_pattern(base)
+        assert "examination" in out
+
+    def test_should_correct(self):
+        assert should_correct("hello @@ world")
+        assert should_correct("a1b pattern")
+        assert should_correct("run lll end")
+        assert not should_correct("a clean sentence with 100 mg dose")
+
+
+class TestHtml:
+    RAW = ("<html><head><title>T</title><script>x()</script></head><body>"
+           "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+           "<h2>Heading Here</h2>"
+           "<p>This is the main paragraph with enough text to count fine.</p>"
+           "<div><a href='#'>Share</a> <a href='#'>Tweet</a></div>"
+           "<footer><a href='/t'>Terms</a></footer></body></html>")
+
+    def test_main_only(self):
+        text, spans = extract_html(self.RAW)
+        assert text == ("Heading Here\n"
+                        "This is the main paragraph with enough text to count"
+                        " fine.")
+        kinds = {s["kind"] for s in spans}
+        assert "boilerplate" in kinds and "main" in kinds and "heading" in kinds
+
+    def test_spans_index_raw(self):
+        text, spans = extract_html(self.RAW)
+        for s in spans:
+            assert 0 <= s["start"] < s["end"] <= len(self.RAW)
+        main = [s for s in spans if s["kind"] == "main"]
+        assert self.RAW[main[0]["start"]:main[0]["end"]].startswith("This is")
+
+    def test_entities_decoded(self):
+        text, _ = extract_html("<p>Salt &amp; pepper makes a fine dinner"
+                               " indeed</p>")
+        assert text == "Salt & pepper makes a fine dinner indeed"
+
+    def test_script_content_dropped(self):
+        text, _ = extract_html("<p>Keep this sentence full of words here"
+                               "</p><script>drop this</script>")
+        assert "drop" not in text
+
+    def test_link_density(self):
+        raw = ("<div><a href='1'>aaaa bbbb cccc dddd</a> x</div>"
+               "<p>A real paragraph with plenty of plain text words"
+               " in it.</p>")
+        text, _ = extract_html(raw)
+        assert "aaaa" not in text and "real paragraph" in text
+
+
+class TestPdfBlocks:
+    RAW = "\n".join([
+        "%PDFBLOCKS 1",
+        "P 1 800 1000",
+        "B 50 955 750 975 0.9 native|Footer banner",
+        "B 50 300 750 316 0.9 native|second paragraph line",
+        "B 50 20 750 40 0.95 native|Header banner",
+        "B 410 130 750 146 0.9 native|right half",
+        "B 50 130 390 146 0.9 native|left half",
+        "B 50 150 750 166 0.9 native|left half continuation line okay good",
+        "B 51 151 751 167 0.7 easyocr|xeft half continuation line okay good",
+        "B 50 600 750 616 0.3 easyocr|low conf junk",
+    ])
+
+    def test_reading_order_and_bands(self):
+        text, spans, kept, dropped = extract_pdf_payload(self.RAW)
+        assert text == ("left half right half left half continuation line"
+                        " okay good\nsecond paragraph line")
+        kinds = [s["kind"] for s in spans]
+        assert "header" in kinds and "footer" in kinds and "lowconf" in kinds
+
+    def test_dedup_drops_low_conf_twin(self):
+        blocks, low, _ = parse_payload(self.RAW)
+        assert len(low) == 1
+        text, spans, kept, dropped = extract_pdf_payload(self.RAW)
+        assert dropped == 1 and kept == len(blocks) - 1
+
+    def test_dedup_exact_case(self):
+        raw = "\n".join([
+            "%PDFBLOCKS 1", "P 1 800 1000",
+            "B 50 300 750 316 0.9 native|this line is long enough to compare",
+            "B 51 301 751 317 0.7 easyocr|xhis line is long enough to compare",
+        ])
+        text, spans, kept, dropped = extract_pdf_payload(raw)
+        assert kept == 1 and dropped == 1
+        assert text == "this line is long enough to compare"
+
+    def test_conf_percent_normalized(self):
+        raw = "\n".join([
+            "%PDFBLOCKS 1", "P 1 800 1000",
+            "B 50 300 750 316 90 native|percent confidence block",
+        ])
+        blocks, low, _ = parse_payload(raw)
+        assert len(blocks) == 1 and abs(blocks[0].conf - 0.9) < 1e-9
+
+
+class TestMarkdownAndClassify:
+    def test_markdown_identity_and_spans(self):
+        raw = "# Title\nplain prose line\n- bullet one\n1. numbered"
+        text, spans = segment_markdown(raw)
+        assert text == raw
+        assert [s["kind"] for s in spans] == ["heading", "main", "bullet",
+                                              "bullet"]
+
+    def test_classify(self):
+        assert classify_turn("", "") == "empty"
+        assert classify_turn("<p>x</p>", "") == "html"
+        assert classify_turn("# head\nbody", "") == "markdown"
+        assert classify_turn("%PDFBLOCKS 1\nP 1 800 1000", "pdf_reader") == \
+            "tool_pdf_payload"
+        assert classify_turn("noise @@ here", "") == "ocr_noisy"
+        assert classify_turn("just text", "") == "plain"
+        # payload without a tool stays text-classified
+        assert classify_turn("%PDFBLOCKS 1", "") == "plain"
+
+
+class TestTextStats:
+    def test_token_count(self):
+        assert token_count("a b_c 12 -") == 3
+
+    def test_lang_guess(self):
+        assert lang_guess("the cat sat on the mat and that is that") == "en"
+        assert lang_guess("der hund und die katze ist nicht da") == "de"
+        assert lang_guess("le chat et la souris dans une maison") == "fr"
+        assert lang_guess("xyz qrs") == "und"
+
+    def test_fingerprint_ws_case_insensitive(self):
+        assert fingerprint_md5("Hello   World") == fingerprint_md5("hello world ")
+
+    def test_quality_counts_ints(self):
+        q = quality_counts("Aa bb. CC!")
+        assert q["n_tokens"] == 3 and q["n_punct"] == 2 and q["n_upper"] == 3
+
+
+class TestFingerprint:
+    def test_minhash_estimates_jaccard(self):
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = "the quick brown fox leaps over the lazy dog " * 5
+        sa, sb = minhash_signature(a), minhash_signature(b)
+        est = (sa == sb).mean()
+        true = jaccard(a, b)
+        assert abs(est - true) < 0.25
+        assert (minhash_signature(a) == sa).all()  # deterministic
+
+    def test_lsh_bands_collide_for_near_dups(self):
+        a = " ".join(f"tok{i}" for i in range(100))
+        b = " ".join(f"tok{i}" for i in range(99)) + " tokX"
+        ka, kb = set(lsh_band_keys(minhash_signature(a))), \
+            set(lsh_band_keys(minhash_signature(b)))
+        assert ka & kb
+
+    def test_simhash_close_for_similar(self):
+        a = " ".join(f"w{i}" for i in range(200))
+        b = a + " extra"
+        assert hamming64(simhash64(a), simhash64(b)) <= 8
+        assert hamming64(simhash64(a), simhash64("completely different "
+                                                 "content here")) > 16
