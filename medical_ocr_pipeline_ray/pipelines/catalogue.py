@@ -1,0 +1,96 @@
+"""Query catalogue: every public operator as a (callable, oracle-SQL) pair.
+
+This is the single registry behind ``__ray_entry__.queries()`` /
+``oracle_sql()`` (driver correctness gate) and the bench harness.  Each
+callable takes ``sf_dir`` and returns a Dataset / DataFrame / Arrow table;
+SQL-expressible operators carry a DuckDB oracle with IDENTICAL column
+names and value semantics (see pipelines/relational.py design rules).
+
+Operators without SQL entries (extraction, near-dup sketches, approximate
+kNN, multimodal) are non-SQL-expressible; they are verified in the pytest
+suite instead (oracle parity / planted-truth / recall tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from ..config import DEFAULT_PIPELINE
+from ..sources.transcripts import read_transcripts
+from ..synth import tier_for_sf_dir
+from . import dedup, multimodal, relational, similarity, textops
+from .extract_pipeline import build_turns_pipeline
+from ..stages.assemble import assemble_conversations
+
+
+def extract_turns(sf_dir: str):
+    """Flagship per-turn extraction over the synthesized transcript corpus
+    scaled to the sf tier (rows-only driver check; per-turn equality vs the
+    single-process oracle is enforced in tests/test_ray_pipeline.py)."""
+    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+    turns = build_turns_pipeline(ds)
+    return turns.select_columns([
+        "conv_id", "turn_idx", "role", "payload_class", "text_extracted",
+        "blocks_kept", "blocks_dropped_dup", "content_chars"])
+
+
+def assemble_convs(sf_dir: str):
+    """Conversation assembly (salted groupby) over the extracted turns."""
+    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+    turns = build_turns_pipeline(ds)
+    convs = assemble_conversations(turns, DEFAULT_PIPELINE)
+    return convs.select_columns(
+        ["conv_id", "n_turns", "content_chars", "sha256"])
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # flagship extraction (SURVEY §2.2/§2.9/§2.7 core)
+        "extract_turns": extract_turns,
+        "assemble_conversations": assemble_convs,
+        # relational / aggregation / window (SURVEY §2.4-§2.6)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "filter_project_revenue": relational.filter_project_revenue,
+        "join_orders_customer_segment": relational.join_orders_customer_segment,
+        "join_customer_nation_balance": relational.join_customer_nation_balance,
+        "topk_orders": relational.topk_orders,
+        "distinct_brands": relational.distinct_brands,
+        "events_hourly_window": relational.events_hourly_window,
+        "events_sessions": relational.events_sessions,
+        "label_counts": relational.label_counts,
+        # text analysis (training-data ops)
+        "doc_stats": textops.doc_stats,
+        "doc_lang_id": textops.doc_lang_id,
+        "doc_fingerprint": textops.doc_fingerprint,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        # similarity search
+        "knn_brute_force": similarity.knn_brute_force,
+        "knn_lsh": similarity.knn_lsh,
+        "embedding_near_dup": similarity.embedding_near_dup,
+        # multimodal plumbing
+        "multimodal_features": multimodal.multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "filter_project_revenue": relational.FILTER_PROJECT_SQL,
+        "join_orders_customer_segment": relational.JOIN_SEGMENT_SQL,
+        "join_customer_nation_balance": relational.JOIN_NATION_SQL,
+        "topk_orders": relational.TOPK_SQL,
+        "distinct_brands": relational.DISTINCT_SQL,
+        "events_hourly_window": relational.EVENTS_WINDOW_SQL,
+        "events_sessions": relational.EVENTS_SESSIONS_SQL,
+        "label_counts": relational.LABEL_COUNTS_SQL,
+        "doc_stats": textops.DOC_STATS_SQL,
+        "doc_lang_id": textops.DOC_LANG_SQL,
+        "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "knn_brute_force": similarity.KNN_SQL,
+    }

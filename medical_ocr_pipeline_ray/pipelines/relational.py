@@ -1,0 +1,364 @@
+"""Relational operators over the testdata Parquet tables.
+
+Generalizes the reference's aggregation/sort/top-k surface (SURVEY.md §2.5,
+§2.6 — per-page metrics G1, grouped QA summaries G2/G5, top-k O3, limits O4)
+into engine-grade relational operators, each with an exact DuckDB oracle
+(driver correctness gate).
+
+Design rules for 100 TB scale:
+- column pruning at the read (``columns=[...]``),
+- partial aggregation inside ``map_batches`` (one row per key per batch)
+  before the small ``groupby`` — the shuffle moves partials, not rows,
+- small sides (customer, nation) broadcast via ``ray.put`` + per-batch
+  numpy/pandas lookup, never a shuffle join,
+- float aggregates computed as exact integer cents/micros (per-row
+  ``round(x*scale)`` is unambiguous for decimal-valued columns), so the
+  Ray result matches the SQL oracle bit-for-bit regardless of summation
+  order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _cents(x: pd.Series | np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+
+
+def _micros(x: pd.Series | np.ndarray) -> np.ndarray:
+    return np.rint(np.asarray(x, dtype=np.float64) * 1_000_000).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: filter → partial agg per batch → tiny groupby
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        if df.empty:
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=str),
+                "l_linestatus": pd.Series([], dtype=str),
+                "qty_i": pd.Series([], dtype=np.int64),
+                "price_c": pd.Series([], dtype=np.int64),
+                "disc_price_u": pd.Series([], dtype=np.int64),
+                "charge_u": pd.Series([], dtype=np.int64),
+                "disc_c": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        disc_price = price * (1.0 - disc)
+        t = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "qty_i": _cents(df["l_quantity"]),
+            "price_c": _cents(price),
+            "disc_price_u": _micros(disc_price),
+            "charge_u": _micros(disc_price * (1.0 + tax)),
+            "disc_c": _cents(disc),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_i", alias_name="qty_i"),
+        Sum("price_c", alias_name="price_c"),
+        Sum("disc_price_u", alias_name="disc_price_u"),
+        Sum("charge_u", alias_name="charge_u"),
+        Sum("disc_c", alias_name="disc_c"),
+        Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy()
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["qty_i"] / 100.0,
+            "sum_base_price": df["price_c"] / 100.0,
+            "sum_disc_price": df["disc_price_u"] / 1_000_000.0,
+            "sum_charge": df["charge_u"] / 1_000_000.0,
+            "avg_qty": (df["qty_i"] / 100.0) / n,
+            "avg_price": (df["price_c"] / 100.0) / n,
+            "avg_disc": (df["disc_c"] / 100.0) / n,
+            "count_order": df["n"],
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))/1000000.0
+    AS sum_disc_price,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT))
+    /1000000.0 AS sum_charge,
+  (sum(CAST(round(l_quantity*100) AS BIGINT))/100.0)/count(*) AS avg_qty,
+  (sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0)/count(*) AS avg_price,
+  (sum(CAST(round(l_discount*100) AS BIGINT))/100.0)/count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized filter + projection (per-row arithmetic, zero-copy Arrow)
+# ---------------------------------------------------------------------------
+
+def filter_project_revenue(sf_dir: str):
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(batch["l_quantity"], 30.0),
+                       pc.greater_equal(batch["l_discount"], 0.05))
+        batch = batch.filter(mask)
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "revenue": rev})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice*(1-l_discount) AS revenue
+FROM lineitem
+WHERE l_quantity >= 30 AND l_discount >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast joins (small dimension side via ray.put; no shuffle join)
+# ---------------------------------------------------------------------------
+
+class _SegmentLookup:
+    """Actor-pool batch join: customer dim broadcast once via ray.put and
+    fetched in __init__ (reference J3 'dictionary lookup small side' —
+    SURVEY.md §2.4)."""
+
+    def __init__(self, cust_ref):
+        cust = ray.get(cust_ref)
+        self.seg = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        seg = df["o_custkey"].map(self.seg)
+        t = pd.DataFrame({
+            "c_mktsegment": seg,
+            "price_c": _cents(df["o_totalprice"]),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby("c_mktsegment", as_index=False).sum()
+
+
+def join_orders_customer_segment(sf_dir: str):
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pydict()
+    cust_ref = ray.put(cust)
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(_SegmentLookup, batch_format="pandas",
+                              concurrency=(1, 4),
+                              fn_constructor_kwargs={"cust_ref": cust_ref})
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("price_c", alias_name="price_c"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "n_orders": df["n"],
+            "total_price": df["price_c"] / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+JOIN_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def join_customer_nation_balance(sf_dir: str):
+    nation = pq.read_table(_t(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pydict()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nref = ray.put(nmap)
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_acctbal"])
+
+    def partial(df: pd.DataFrame, _nref=nref) -> pd.DataFrame:
+        nm = ray.get(_nref)
+        t = pd.DataFrame({
+            "n_name": df["c_nationkey"].map(nm),
+            "bal_c": _cents(df["c_acctbal"]),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby("n_name", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("n_name").aggregate(
+        Sum("bal_c", alias_name="bal_c"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_name": df["n_name"],
+            "n_customers": df["n"],
+            "sum_acctbal": df["bal_c"] / 100.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+JOIN_NATION_SQL = """
+SELECT n_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k / distinct
+# ---------------------------------------------------------------------------
+
+def topk_orders(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_brands(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_brand"])
+    vals = sorted(ds.unique("p_brand"))
+    return pa.table({"p_brand": pa.array(vals, pa.string())})
+
+
+DISTINCT_SQL = "SELECT DISTINCT p_brand FROM part"
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows & sessionization (streaming-shaped; SURVEY.md §2.12 —
+# the reference has no windows, these are the training-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+def events_hourly_window(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()       # epoch microseconds
+        window_start = (us // 3_600_000_000) * 3600    # epoch seconds
+        t = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "window_start": window_start,
+            "value_u": _micros(df["value"]),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby(["event_type", "window_start"],
+                         as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("value_u", alias_name="value_u"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "window_start": df["window_start"],
+            "n_events": df["n"],
+            "sum_value": df["value_u"] / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       count(*) AS n_events,
+       sum(CAST(round(value*1000000) AS BIGINT))/1000000.0 AS sum_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def events_sessions(sf_dir: str, gap_seconds: int = 1800):
+    """Per-user session count with a 30-min inactivity gap.  The per-key
+    ordered scan runs inside ``map_groups`` over ``groupby(user_id)`` —
+    the partitioned-log pattern for stream-shaped data."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy()
+        brk = (np.diff(us) > gap_seconds * 1_000_000).sum() if len(us) > 1 \
+            else 0
+        return pd.DataFrame([{
+            "user_id": int(g["user_id"].iloc[0]),
+            "n_events": int(len(g)),
+            "n_sessions": int(1 + brk)}])
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+EVENTS_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped count on embeddings labels (vector-table groupby)
+# ---------------------------------------------------------------------------
+
+def label_counts(sf_dir: str):
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    agg = ds.groupby("label").aggregate(Count(alias_name="n"))
+    return agg
+
+
+LABEL_COUNTS_SQL = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+# exact dedup lives in pipelines/dedup.py; imported by the catalogue

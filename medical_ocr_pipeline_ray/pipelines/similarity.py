@@ -1,0 +1,193 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- ``knn_brute_force`` — exact cosine top-k: query vector broadcast via
+  ``ray.put``, per-batch numpy matmul (vectorized), global
+  ``sort(desc).limit(k)``.  DuckDB oracle via ``list_cosine_similarity``
+  (embeddings cast to DOUBLE on both sides so ordering agrees).
+- ``knn_lsh`` — the scale path: random-hyperplane LSH buckets; only
+  buckets within Hamming distance ``probe`` of the query's bucket are
+  scanned.  Approximate → verified against brute force by recall in tests
+  (rows-only for the driver).
+- ``embedding_near_dup`` — embedding-cosine near-duplicate pairs over an
+  augmented corpus (planted perturbed twins), LSH-bucketed candidates +
+  exact cosine verify.
+
+All stages are numpy-vectorized per batch; nothing materializes the full
+table except the final top-k (k rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+_PLANES_SEED = 1234
+
+
+def _emb_matrix(df: pd.DataFrame) -> np.ndarray:
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    q = np.asarray(tbl["embedding"][int(np.argmin(ids))].as_py(),
+                   dtype=np.float64)
+    return q
+
+
+def knn_brute_force(sf_dir: str, k: int = 10):
+    q = _query_vec(sf_dir)
+    qn = np.linalg.norm(q)
+    qref = ray.put(q)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def score(df: pd.DataFrame, _qref=qref, _qn=qn) -> pd.DataFrame:
+        e = _emb_matrix(df)
+        qv = ray.get(_qref)
+        sims = (e @ qv) / (np.linalg.norm(e, axis=1) * _qn)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "cosine": sims})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = scored.sort(["cosine", "vec_id"],
+                      descending=[True, False]).limit(k).to_pandas()
+    top = top.reset_index(drop=True)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "vec_id": top["vec_id"].astype(np.int64)})
+
+
+KNN_SQL = """
+SELECT CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC,
+         vec_id) AS BIGINT) AS rank,
+       vec_id
+FROM embeddings
+QUALIFY rank <= 10
+"""
+
+
+def _bucket_bits(e: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket ids (uint32) for rows of e."""
+    bits = (e @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) @ weights).astype(np.uint64)
+
+
+def _planes(dim: int, n_planes: int = 12) -> np.ndarray:
+    rng = np.random.RandomState(_PLANES_SEED)
+    return rng.standard_normal((n_planes, dim))
+
+
+def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 3):
+    """Approximate top-k: scan only vectors whose LSH bucket is within
+    ``probe_hamming`` bits of the query's bucket (~35% of the corpus at the
+    defaults; recall ~0.6-0.7 on random gaussian embeddings — the hardest
+    case for ANN, since true neighbors are barely correlated)."""
+    q = _query_vec(sf_dir)
+    planes = _planes(q.shape[0], n_planes)
+    qbucket = int(_bucket_bits(q[None, :], planes)[0])
+    qn = np.linalg.norm(q)
+    qref = ray.put((q, planes))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def score(df: pd.DataFrame, _ref=qref, _qb=qbucket, _qn=qn,
+              _probe=probe_hamming) -> pd.DataFrame:
+        qv, pl = ray.get(_ref)
+        e = _emb_matrix(df)
+        buckets = _bucket_bits(e, pl)
+        ham = np.array([bin(int(b) ^ _qb).count("1") for b in buckets])
+        mask = ham <= _probe
+        if not mask.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        e = e[mask]
+        sims = (e @ qv) / (np.linalg.norm(e, axis=1) * _qn)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy()[mask].astype(np.int64),
+            "cosine": sims})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = (scored.sort(["cosine", "vec_id"], descending=[True, False])
+           .limit(k).to_pandas().reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "vec_id": top["vec_id"].astype(np.int64)})
+
+
+def augmented_embeddings(sf_dir: str):
+    """embeddings ∪ planted perturbed twins (vec_id+1_000_000, deterministic
+    per-vector noise) for the near-dup operator."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids = list(df["vec_id"].astype(np.int64))
+        vecs = [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+        for vid, v in zip(df["vec_id"].astype(np.int64), df["embedding"]):
+            if vid % 25 == 0:
+                rng = np.random.RandomState(int(vid) + 7)
+                noise = rng.standard_normal(len(v)) * 0.01
+                ids.append(int(vid) + 1_000_000)
+                vecs.append(np.asarray(v, dtype=np.float64) + noise)
+        return pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                             "embedding": vecs})
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.99,
+                       n_planes: int = 10):
+    """Cosine near-duplicate pairs via LSH-bucket candidates + exact verify.
+
+    A perturbed twin lands in the same (or 1-bit-adjacent) bucket with high
+    probability; candidates are verified with exact cosine.  Pairs emitted
+    as (vec_a < vec_b, cosine)."""
+    aug = augmented_embeddings(sf_dir)
+    dim = _query_vec(sf_dir).shape[0]
+    planes = _planes(dim, n_planes)
+    pref = ray.put(planes)
+
+    def bucketize(df: pd.DataFrame, _pref=pref) -> pd.DataFrame:
+        pl = ray.get(_pref)
+        e = _emb_matrix(df)
+        buckets = _bucket_bits(e, pl)
+        return pd.DataFrame({
+            "bucket": buckets.astype(np.int64),
+            "vec_id": df["vec_id"].astype(np.int64),
+            "embedding": list(e)})
+
+    keyed = aug.map_batches(bucketize, batch_format="pandas")
+
+    def pairs_in_bucket(g: pd.DataFrame, _thr=threshold) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                                 "vec_b": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        g = g.sort_values("vec_id")
+        e = np.stack(g["embedding"].to_numpy())
+        norms = np.linalg.norm(e, axis=1)
+        sims = (e @ e.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = sims[ia, ib] >= _thr
+        ids = g["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "vec_a": ids[ia[keep]].astype(np.int64),
+            "vec_b": ids[ib[keep]].astype(np.int64),
+            "cosine": np.round(sims[ia, ib][keep], 6)})
+
+    pairs = keyed.groupby("bucket").map_groups(pairs_in_bucket,
+                                               batch_format="pandas")
+    # a pair may appear once per shared bucket → unique
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,92 @@
+"""Local replica of the driver's correctness gate: every SQL-oracled query
+run at sf0.001 and compared (rows + schema + exact values) against DuckDB.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    import ray.data as rd
+    import pyarrow as pa
+    if isinstance(res, rd.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
+    assert len(ray_df) == len(sql_df), \
+        f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), \
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    a, b = _canon(ray_df), _canon(sql_df)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = np.array_equal(av.astype(np.float64), bv.astype(np.float64))
+        else:
+            ok = (av == bv).all()
+        assert ok, f"{name}: column {col} mismatch\n{a[col].head()}\n" \
+                   f"{b[col].head()}"
+
+
+@pytest.mark.parametrize("name", [
+    "q1_pricing_summary", "filter_project_revenue",
+    "join_orders_customer_segment", "join_customer_nation_balance",
+    "topk_orders", "distinct_brands", "events_hourly_window",
+    "events_sessions", "label_counts", "doc_stats", "doc_lang_id",
+    "doc_fingerprint", "dedup_exact", "knn_brute_force",
+])
+def test_query_matches_duckdb(ray_session, con, name):
+    from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
+    q = queries()[name]
+    sql = oracle_sql()[name]
+    ray_df = _to_df(q(SF_DIR))
+    sql_df = con.execute(sql).fetchdf()
+    _compare(name, ray_df, sql_df)
+
+
+def test_all_queries_have_oracle_or_are_listed(ray_session):
+    """Every query is either SQL-oracled or a documented non-SQL op."""
+    from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
+    non_sql = {"extract_turns", "assemble_conversations", "dedup_minhash_lsh",
+               "dedup_simhash", "dedup_ngram_jaccard", "knn_lsh",
+               "embedding_near_dup", "multimodal_features"}
+    assert set(queries()) == set(oracle_sql()) | non_sql
+
+
+def test_entry_contract(ray_session):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ds = mod.entry()
+    df = _to_df(ds)
+    assert len(df) > 0
+    assert {"conv_id", "turn_idx", "text_extracted"} <= set(df.columns)
