@@ -80,9 +80,14 @@ class PipelineConfig:
     """
 
     batch_size: int = 1024
-    heavy_concurrency: int = 4
+    use_actor_pool: bool = False   # True → two-tier cheap-task/heavy-actor
+    heavy_concurrency: int | None = None   # None → size to the cluster CPUs
     heavy_num_cpus: float = 1.0
     salt_span: int = 512
+    # assembly fan-in: conversations are folded per hash bucket (vectorized),
+    # never one Ray group per conversation; choose so bucket ≈ 256 MB of
+    # slim turn rows at your corpus size (stages/assemble.py)
+    assembly_buckets: int = 64
     fragments_per_partition: int = 1
     stage_version: str = "v1"
 

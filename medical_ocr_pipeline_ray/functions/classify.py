@@ -28,6 +28,15 @@ PAYLOAD_CLASSES = ("tool_pdf_payload", "html", "markdown", "ocr_noisy", "plain",
 # classes requiring the stateful/expensive stage (actor pool)
 HEAVY_CLASSES = frozenset({"tool_pdf_payload", "ocr_noisy"})
 
+# RE2-compatible pattern strings for the VECTORIZED classifier
+# (pyarrow.compute.match_substring_regex = RE2).  Single source with the
+# Python predicates above; any divergence is caught by the oracle-parity
+# tests (the oracle classifies in Python, the Ray fast path in RE2).
+HTML_PATTERN_RE2 = "(?i)" + _HTML_RX.pattern
+MD_PATTERN_RE2 = r"(?m)^(?:#{1,6}\s+\S|\s*[-*•]\s+\S|\s*\d+[.)]\s+\S)"
+NOISY_PATTERNS_RE2 = (r"[A-Za-z]\d[A-Za-z]", r"\b[l1I]{3,}\b", r"[;:!?]{2,}")
+NOISY_LITERALS = ("@@", "||", "… …")
+
 
 def classify_turn(text: str, tool: str) -> str:
     if not text or not text.strip():

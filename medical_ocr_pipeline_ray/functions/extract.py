@@ -44,9 +44,11 @@ class TurnExtract(NamedTuple):
 
 
 def extract_turn(text: str, tool: str = "",
-                 cfg: ExtractConfig = DEFAULT_EXTRACT) -> TurnExtract:
+                 cfg: ExtractConfig = DEFAULT_EXTRACT,
+                 cls: str | None = None) -> TurnExtract:
     text = text if isinstance(text, str) else ("" if text is None else str(text))
-    cls = classify_turn(text, tool)
+    if cls is None:
+        cls = classify_turn(text, tool)
     if cls == "empty":
         return TurnExtract(cls, "", [], 0, 0)
     if cls == "plain":

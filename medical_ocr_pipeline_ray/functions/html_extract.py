@@ -53,15 +53,25 @@ class _Block:
 
 
 def _tag_name(tok: str) -> tuple[str, bool]:
-    """('div', is_closing) for a tag token; ('!', False) for comments/doctype."""
-    body = tok[1:-1].strip()
-    if body.startswith("!"):
+    """('div', is_closing) for a tag token; ('!', False) for comments/doctype.
+
+    Hand-rolled scan (no regex) — this runs once per tag token and is the
+    tokenizer's hottest helper."""
+    body = tok[1:-1]
+    i, n = 0, len(body)
+    while i < n and body[i] in " \t\n\r":
+        i += 1
+    if i >= n or body[i] == "!":
         return "!", False
-    closing = body.startswith("/")
+    closing = body[i] == "/"
     if closing:
-        body = body[1:]
-    name = re.match(r"[a-zA-Z][a-zA-Z0-9]*", body)
-    return (name.group(0).lower() if name else "!"), closing
+        i += 1
+    j = i
+    while j < n and body[j].isalnum():
+        j += 1
+    if j == i or not body[i].isalpha():
+        return "!", False
+    return body[i:j].lower(), closing
 
 
 def parse_blocks(raw: str) -> list[_Block]:

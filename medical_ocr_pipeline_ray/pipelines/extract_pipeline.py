@@ -39,8 +39,8 @@ import ray.data as rd
 from ..config import (DEFAULT_EXTRACT, DEFAULT_PIPELINE, ExtractConfig,
                       PipelineConfig)
 from ..stages.assemble import assemble_conversations
-from ..stages.extract_stage import (HeavyExtractor, TURN_SCHEMA,
-                                    extract_cheap_batch, finalize_turns)
+from ..stages.extract_stage import (HeavyExtractor, extract_cheap_batch,
+                                    extract_full_batch)
 from ..state.manifest import (commit_partition, load_manifest,
                               reset_partition_output)
 
@@ -71,25 +71,39 @@ def build_turns_pipeline(ds: "rd.Dataset",
                          pcfg: PipelineConfig = DEFAULT_PIPELINE,
                          keep_cols: tuple[str, ...] = (),
                          ) -> "rd.Dataset":
-    """Per-turn extraction over a transcripts Dataset (no shuffle)."""
+    """Per-turn extraction over a transcripts Dataset (no shuffle).
+
+    Default path: ONE elastic task-pool stage with per-worker-process
+    cached state (measured ~40% faster than a bounded actor pool for this
+    light state — see stages/extract_stage.py).  ``use_actor_pool=True``
+    switches to the two-tier cheap-tasks → heavy-actor-pool routing, the
+    right shape when the heavy state is expensive (models, indexes).
+    """
+    if not pcfg.use_actor_pool:
+        return ds.map_batches(
+            extract_full_batch, batch_format="pyarrow",
+            batch_size=pcfg.batch_size,
+            fn_kwargs={"cfg": cfg, "keep_cols": tuple(keep_cols)})
     extracted = ds.map_batches(
         extract_cheap_batch, batch_format="pyarrow",
         batch_size=pcfg.batch_size, fn_kwargs={"cfg": cfg})
     # autoscaling actor pool (min 1): a fixed-size pool of
     # heavy_concurrency × num_cpus actors can reserve every CPU on a small
-    # node and starve the read stage (pipeline deadlock); (1, N) lets the
+    # node and starve the read stage (pipeline deadlock); (min, N) lets the
     # pool grow only while CPUs are free.
-    heavy = extracted.map_batches(
+    if pcfg.heavy_concurrency is None:
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+        heavy_n = max(2, ncpu - 2)
+    else:
+        heavy_n = pcfg.heavy_concurrency
+    return extracted.map_batches(
         HeavyExtractor, batch_format="pyarrow",
         batch_size=pcfg.batch_size,
-        concurrency=(1, pcfg.heavy_concurrency),
+        concurrency=(max(1, heavy_n // 2), heavy_n),
         num_cpus=pcfg.heavy_num_cpus,
-        fn_constructor_kwargs={"cfg": cfg})
-    keep = list(TURN_SCHEMA.names) + list(keep_cols)
-    return heavy.map_batches(
-        lambda b, _keep=tuple(keep): b.select(
-            [n for n in _keep if n in b.column_names]),
-        batch_format="pyarrow", batch_size=pcfg.batch_size)
+        fn_constructor_kwargs={"cfg": cfg, "keep_cols": tuple(keep_cols)})
 
 
 def _partition_metrics(turns_root: str, part: str) -> dict:
@@ -138,13 +152,35 @@ def run_extraction(input_dir: str, out_dir: str, resume: bool = True,
             for f in plan[part]:
                 wave_files.append(f)
                 path_to_part[os.path.basename(f)] = part
-        ds = rd.read_parquet(wave_files, include_paths=True)
+        # block granularity scaled to the cluster: ~8 blocks per CPU keeps
+        # every core busy through the tail without per-task overhead blowup
+        import ray as _ray
+        ncpu = int(_ray.cluster_resources().get("CPU", 8)) if \
+            _ray.is_initialized() else 8
+        par = max(len(wave_files), ncpu * 8)
+        ds = rd.read_parquet(wave_files, include_paths=True,
+                             parallelism=par)
         ds = ds.map_batches(_add_partition_col, batch_format="pyarrow",
                             fn_kwargs={"path_to_part": path_to_part})
         turns = build_turns_pipeline(ds, cfg, pcfg, keep_cols=("part",))
-        turns.write_parquet(turns_root, partition_cols=["part"])
-        for part in wave:
-            metrics = _partition_metrics(turns_root, part)
+        # zstd: ~2× smaller files than snappy → less disk/network per block
+        # (compression CPU rides the parallel write tasks, which scales;
+        # raw IO bandwidth does not)
+        turns.write_parquet(turns_root, partition_cols=["part"],
+                            compression="zstd")
+        # lineage metrics: cheap columnar read-back of each partition, run
+        # as Ray tasks so it scales with the cluster (not the driver)
+        import ray
+        if ray.is_initialized() and len(wave) > 4:
+            mtask = ray.remote(num_cpus=0.5)(_partition_metrics)
+            metrics_list = ray.get(
+                [mtask.remote(turns_root, p) for p in wave])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                metrics_list = list(pool.map(
+                    lambda p: _partition_metrics(turns_root, p), wave))
+        for part, metrics in zip(wave, metrics_list):
             commit_partition(out_dir, {
                 "partition": part,
                 "fragments": [os.path.basename(f) for f in plan[part]],
@@ -163,21 +199,72 @@ def run_extraction(input_dir: str, out_dir: str, resume: bool = True,
     return summary
 
 
-def read_turns(out_dir: str) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(out_dir, "turns"))
+def read_turns(out_dir: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(out_dir, "turns"), columns=columns)
 
 
 def run_assembly(out_dir: str,
                  pcfg: PipelineConfig = DEFAULT_PIPELINE) -> dict:
     """Conversation assembly over the committed turns output.
 
-    Derived data: rebuilt whole after the (expensive, checkpointed)
-    extraction stage; at cluster scale this is one salted shuffle whose
-    inputs are already partitioned parquet.
+    Staged single-shuffle design: ONE ``groupby(bucket, salt)`` exchange
+    folds every conversation; complete (single-salt) conversations — the
+    overwhelming majority — are finalized in that same pass and written
+    straight to ``conversations/base``.  Only the rare multi-salt
+    (mega-conversation) partials take a second, tiny shuffle and land in
+    ``conversations/merged``.  The bulk of the corpus therefore rides
+    exactly one exchange + one write.  Read the result back with
+    ``read_conversations``.
     """
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as _pads
+
     conv_dir = os.path.join(out_dir, "conversations")
     reset_partition_output(conv_dir)
-    convs = assemble_conversations(read_turns(out_dir), pcfg)
-    convs.write_parquet(conv_dir)
-    n = pads.dataset(conv_dir, format="parquet").count_rows()
-    return {"conversations": n}
+    base_dir = os.path.join(conv_dir, "base")
+    merged_dir = os.path.join(conv_dir, "merged")
+    # column-pruned read: assembly needs 4 of the 10 turn columns (spans —
+    # the widest column — never leaves the parquet files)
+    turns = read_turns(out_dir, columns=[
+        "conv_id", "turn_idx", "text_extracted", "content_chars"])
+    from ..stages.assemble import _add_keys, fold_or_finalize, merge_partials
+    keyed = turns.map_batches(
+        _add_keys, batch_format="pyarrow", batch_size=pcfg.batch_size,
+        fn_kwargs={"buckets": pcfg.assembly_buckets,
+                   "salt_span": pcfg.salt_span})
+    folded = keyed.groupby(["bucket", "salt"]).map_groups(
+        fold_or_finalize, batch_format="pandas",
+        fn_kwargs={"salt_span": pcfg.salt_span})
+    folded.write_parquet(base_dir, compression="zstd")
+
+    # tiny second pass: only multi-salt partials (predicate pushdown)
+    partials = rd.read_parquet(base_dir,
+                               filter=(pc_.field("is_final") == False))  # noqa: E712
+    n_partial_rows = partials.count()
+    n_merged = 0
+    if n_partial_rows:
+        merged = partials.groupby("conv_id").map_groups(
+            merge_partials, batch_format="pandas")
+        merged.write_parquet(merged_dir, compression="zstd")
+        n_merged = _pads.dataset(merged_dir, format="parquet").count_rows()
+    n_final = _pads.dataset(base_dir, format="parquet").scanner(
+        columns=["is_final"],
+        filter=_pads.field("is_final") == True).count_rows()  # noqa: E712
+    return {"conversations": n_final + n_merged}
+
+
+def read_conversations(out_dir: str) -> "rd.Dataset":
+    """The assembled conversation table (CONV_SCHEMA): finalized rows from
+    the base fold plus merged multi-salt conversations."""
+    import pyarrow.compute as pc_
+    conv_dir = os.path.join(out_dir, "conversations")
+    base = rd.read_parquet(
+        os.path.join(conv_dir, "base"),
+        columns=["conv_id", "n_turns", "content_chars", "full_text",
+                 "sha256", "is_final"],
+        filter=(pc_.field("is_final") == True))  # noqa: E712
+    base = base.drop_columns(["is_final"])
+    merged_dir = os.path.join(conv_dir, "merged")
+    if os.path.isdir(merged_dir):
+        base = base.union(rd.read_parquet(merged_dir))
+    return base

@@ -266,17 +266,39 @@ def gen_conversation(conv_index: int, seed: int, n_turns: int
     return rows
 
 
+def conv_n_turns(conv_index: int, seed: int, lo: int, hi: int) -> int:
+    """Per-conversation turn count, derived independently of generation
+    order (so shards can be generated in parallel, bit-identically)."""
+    r = random.Random((seed << 21) ^ (conv_index * 2_654_435_761 & 0xFFFFFFFF))
+    return r.randint(lo, hi)
+
+
 def gen_transcripts(n_convs: int, seed: int = 42, min_turns: int = 5,
                     max_turns: int = 50, skew_conv_rows: int = 0
                     ) -> list[dict]:
     """All rows for ``n_convs`` conversations; optionally one extra
     mega-conversation of ``skew_conv_rows`` turns (FIXTURES F2 skew)."""
-    top = random.Random(seed)
     rows: list[dict] = []
     for c in range(n_convs):
-        n_turns = top.randint(min_turns, max_turns)
-        rows.extend(gen_conversation(c, seed, n_turns))
+        rows.extend(gen_conversation(c, seed,
+                                     conv_n_turns(c, seed, min_turns,
+                                                  max_turns)))
     if skew_conv_rows > 0:
+        rows.extend(gen_conversation(n_convs, seed, skew_conv_rows))
+    return rows
+
+
+def gen_shard_rows(shard: int, shards: int, n_convs: int, seed: int,
+                   min_turns: int, max_turns: int, skew_conv_rows: int
+                   ) -> list[dict]:
+    """Rows of one shard (convs with index ≡ shard mod shards, ascending) —
+    byte-identical to the serial path's shard split."""
+    rows: list[dict] = []
+    for c in range(shard, n_convs, shards):
+        rows.extend(gen_conversation(c, seed,
+                                     conv_n_turns(c, seed, min_turns,
+                                                  max_turns)))
+    if skew_conv_rows > 0 and n_convs % shards == shard:
         rows.extend(gen_conversation(n_convs, seed, skew_conv_rows))
     return rows
 
@@ -302,16 +324,33 @@ TIERS = {
     "t2": (200, 5, 50, 0, 8),
     "t2skew": (120, 5, 50, 2500, 8),
     "bench": (2000, 5, 50, 0, 32),
-    "bench_large": (8000, 5, 50, 0, 32),
+    "bench_xl": (120_000, 5, 50, 0, 128),
+    "bench_xxl": (240_000, 5, 50, 0, 256),
 }
+
+GEN_VERSION = "v2"   # bump to invalidate /tmp caches on generator changes
+
+
+def _write_shard(tier_spec: tuple, shard: int, seed: int, tdir: str,
+                 sdir: str) -> int:
+    n_convs, lo, hi, skew, shards = tier_spec
+    shard_rows = gen_shard_rows(shard, shards, n_convs, seed, lo, hi, skew)
+    if not shard_rows:
+        return 0
+    main, side = rows_to_tables(shard_rows)
+    pq.write_table(main, os.path.join(tdir, f"part-{shard:05d}.parquet"))
+    pq.write_table(side, os.path.join(sdir, f"part-{shard:05d}.parquet"))
+    return len(shard_rows)
 
 
 def materialize_tier(tier: str, root: str = "/tmp/mopr_synth",
                      seed: int = 42) -> str:
     """Generate (once, cached) a tier's sharded transcripts + sidecar
-    parquet under ``root``; returns the tier directory."""
-    n_convs, lo, hi, skew, shards = TIERS[tier]
-    out_dir = os.path.join(root, f"{tier}-seed{seed}")
+    parquet under ``root``; returns the tier directory.  Shards are
+    generated in parallel Ray tasks when a Ray session exists (per-shard
+    output is order-independent by construction), serially otherwise."""
+    spec = TIERS[tier]
+    out_dir = os.path.join(root, f"{tier}-seed{seed}-{GEN_VERSION}")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
@@ -319,21 +358,25 @@ def materialize_tier(tier: str, root: str = "/tmp/mopr_synth",
     sdir = os.path.join(out_dir, "expected")
     os.makedirs(tdir, exist_ok=True)
     os.makedirs(sdir, exist_ok=True)
-    rows = gen_transcripts(n_convs, seed=seed, min_turns=lo, max_turns=hi,
-                           skew_conv_rows=skew)
-    # shard by conversation so each fragment holds whole conversations
-    by_shard: list[list[dict]] = [[] for _ in range(shards)]
-    for r in rows:
-        sh = int(r["conv_id"][4:]) % shards
-        by_shard[sh].append(r)
-    for sh, shard_rows in enumerate(by_shard):
-        if not shard_rows:
-            continue
-        main, side = rows_to_tables(shard_rows)
-        pq.write_table(main, os.path.join(tdir, f"part-{sh:05d}.parquet"))
-        pq.write_table(side, os.path.join(sdir, f"part-{sh:05d}.parquet"))
+    shards = spec[4]
+    total = 0
+    use_ray = False
+    try:
+        import ray
+        use_ray = ray.is_initialized() and shards >= 16
+    except Exception:
+        pass
+    if use_ray:
+        import ray
+        gen_task = ray.remote(num_cpus=1)(_write_shard)
+        total = sum(ray.get([
+            gen_task.remote(spec, sh, seed, tdir, sdir)
+            for sh in range(shards)]))
+    else:
+        for sh in range(shards):
+            total += _write_shard(spec, sh, seed, tdir, sdir)
     with open(done + ".tmp", "w") as f:
-        f.write(f"rows={len(rows)}\n")
+        f.write(f"rows={total}\n")
     os.replace(done + ".tmp", done)
     return out_dir
 
@@ -342,4 +385,5 @@ def tier_for_sf_dir(sf_dir: str) -> str:
     """Map a driver sf directory to a synth tier (driver calls queries()
     with /root/testdata/sf{0.001,0.01,0.1})."""
     base = os.path.basename(os.path.normpath(sf_dir))
-    return {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}.get(base, "t2")
+    return {"sf0.001": "t1", "sf0.01": "t2",
+            "sf0.1": "bench_xxl"}.get(base, "t2")

@@ -24,15 +24,14 @@ def _golden(tier: str):
 @pytest.fixture(scope="module")
 def t1_run(ray_session, tmp_path_factory):
     from medical_ocr_pipeline_ray.pipelines.extract_pipeline import (
-        read_turns, run_extraction)
+        read_conversations, read_turns, run_extraction)
     from medical_ocr_pipeline_ray.sources.transcripts import transcripts_dir
 
     out = str(tmp_path_factory.mktemp("mopr") / "t1_out")
     summary = run_extraction(transcripts_dir("t1"), out, wave_size=2)
     turns = (read_turns(out).to_pandas()
              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
-    import ray.data as rd
-    convs = (rd.read_parquet(os.path.join(out, "conversations")).to_pandas()
+    convs = (read_conversations(out).to_pandas()
              .sort_values("conv_id").reset_index(drop=True))
     return summary, turns, convs, out
 
@@ -115,6 +114,27 @@ def test_skewed_assembly_matches_oracle(ray_session, tmp_path):
     assert (convs["n_turns"].values == golden["n_turns"].values).all()
     mega = golden["n_turns"].max()
     assert mega >= 2000   # the skew fixture really is skewed
+
+
+def test_staged_assembly_with_mega_conversation(ray_session, tmp_path):
+    """run_assembly's staged path: single-salt convs finalized in the fold
+    pass, the mega conversation merged via the tiny partial shuffle —
+    result equals the oracle exactly (FIXTURES F2)."""
+    from medical_ocr_pipeline_ray.pipelines.extract_pipeline import (
+        read_conversations, run_extraction)
+    from medical_ocr_pipeline_ray.sources.transcripts import transcripts_dir
+
+    out = str(tmp_path / "skew_out")
+    run_extraction(transcripts_dir("t2skew"), out)
+    convs = (read_conversations(out).to_pandas()
+             .sort_values("conv_id").reset_index(drop=True))
+    _gt, golden = _golden("t2skew")
+    assert len(convs) == len(golden)
+    for col in ("conv_id", "n_turns", "content_chars", "sha256"):
+        assert (convs[col].values == golden[col].values).all(), col
+    # the mega conversation really took the merged path
+    import os
+    assert os.path.isdir(os.path.join(out, "conversations", "merged"))
 
 
 def test_resume_partition_exact(ray_session, tmp_path):
