@@ -19,9 +19,18 @@ from typing import Any
 from ..config import DEFAULT_PIPELINE
 from ..sources.transcripts import read_transcripts
 from ..synth import tier_for_sf_dir
-from . import dedup, multimodal, relational, similarity, textops
+from . import dedup, multimodal, qa, relational, segments, similarity, textops
 from .extract_pipeline import build_turns_pipeline
 from ..stages.assemble import assemble_conversations
+
+
+def sample_events(sf_dir: str):
+    """Seeded random sample (10%) of the events stream — deterministic for
+    a fixed seed; rows-only check (sampling is engine-specific)."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return ds.random_sample(0.1, seed=7)
 
 
 def extract_turns(sf_dir: str):
@@ -59,6 +68,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": relational.events_hourly_window,
         "events_sessions": relational.events_sessions,
         "label_counts": relational.label_counts,
+        "join_lineitem_orders_priority":
+            relational.join_lineitem_orders_priority,
+        "semi_join_customers_with_orders":
+            relational.semi_join_customers_with_orders,
+        "anti_join_customers_no_orders":
+            relational.anti_join_customers_no_orders,
+        "sample_events": sample_events,
+        # QA / stage metrics (SURVEY §2.5, §5)
+        "qa_turn_metrics": qa.qa_turn_metrics,
+        "qa_content_accounting": qa.qa_content_accounting,
+        "qa_against_expected": qa.qa_against_expected,
+        # segment assembly (SURVEY L5)
+        "segment_turns": segments.segment_turns,
         # text analysis (training-data ops)
         "doc_stats": textops.doc_stats,
         "doc_lang_id": textops.doc_lang_id,
@@ -88,6 +110,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": relational.EVENTS_WINDOW_SQL,
         "events_sessions": relational.EVENTS_SESSIONS_SQL,
         "label_counts": relational.LABEL_COUNTS_SQL,
+        "join_lineitem_orders_priority": relational.JOIN_PRIORITY_SQL,
+        "semi_join_customers_with_orders": relational.SEMI_JOIN_SQL,
+        "anti_join_customers_no_orders": relational.ANTI_JOIN_SQL,
         "doc_stats": textops.DOC_STATS_SQL,
         "doc_lang_id": textops.DOC_LANG_SQL,
         "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,

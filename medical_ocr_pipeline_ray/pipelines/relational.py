@@ -361,4 +361,128 @@ def label_counts(sf_dir: str):
 LABEL_COUNTS_SQL = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
 
 
-# exact dedup lives in pipelines/dedup.py; imported by the catalogue
+# ---------------------------------------------------------------------------
+# Large-large join: explicit bucketed hash join (both sides big → neither
+# broadcasts; each side is hash-partitioned on the key and buckets joined
+# pairwise inside map_groups — the portable partitioned-hash-join pattern)
+# ---------------------------------------------------------------------------
+
+_JOIN_BUCKETS = 32
+
+
+def join_lineitem_orders_priority(sf_dir: str):
+    """Revenue per o_orderpriority: lineitem ⋈ orders on orderkey, both
+    sides hash-bucketed on the key; per-bucket pandas merge; partial
+    aggregation per bucket before the tiny final groupby."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def key_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        return pd.DataFrame({
+            "bucket": (df["l_orderkey"].to_numpy() % _JOIN_BUCKETS)
+            .astype(np.int32),
+            "orderkey": df["l_orderkey"].to_numpy(),
+            "rev_u": _micros(price * (1.0 - disc)),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def key_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["o_orderkey"].to_numpy() % _JOIN_BUCKETS)
+            .astype(np.int32),
+            "orderkey": df["o_orderkey"].to_numpy(),
+            "priority": df["o_orderpriority"].to_numpy(),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    both = li.map_batches(key_li, batch_format="pandas").union(
+        orders.map_batches(key_orders, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["orderkey", "rev_u"]]
+        right = g[g["side"] == 1][["orderkey", "priority"]]
+        m = left.merge(right, on="orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=str),
+                "rev_u": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        t = pd.DataFrame({"o_orderpriority": m["priority"],
+                          "rev_u": m["rev_u"].astype(np.int64),
+                          "n": np.ones(len(m), dtype=np.int64)})
+        return t.groupby("o_orderpriority", as_index=False).sum()
+
+    partials = both.groupby("bucket").map_groups(join_bucket,
+                                                 batch_format="pandas")
+    agg = partials.groupby("o_orderpriority").aggregate(
+        Sum("rev_u", alias_name="rev_u"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "n_items": df["n"],
+            "revenue": df["rev_u"] / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+JOIN_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+         /1000000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti join: broadcast the key set, filter inside map_batches
+# ---------------------------------------------------------------------------
+
+def semi_join_customers_with_orders(sf_dir: str):
+    """Customers having ≥1 order (semi join via broadcast key set)."""
+    keys = set(pq.read_table(_t(sf_dir, "orders"),
+                             columns=["o_custkey"])["o_custkey"].to_pylist())
+    kref = ray.put(keys)
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+
+    def fn(df: pd.DataFrame, _kref=kref) -> pd.DataFrame:
+        ks = ray.get(_kref)
+        return df[df["c_custkey"].isin(ks)]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def anti_join_customers_no_orders(sf_dir: str):
+    """Customers with NO orders (anti join via broadcast key set)."""
+    keys = set(pq.read_table(_t(sf_dir, "orders"),
+                             columns=["o_custkey"])["o_custkey"].to_pylist())
+    kref = ray.put(keys)
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+
+    def fn(df: pd.DataFrame, _kref=kref) -> pd.DataFrame:
+        ks = ray.get(_kref)
+        return df[~df["c_custkey"].isin(ks)]
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    if out.empty:   # typed empty frame — Dataset.to_pandas drops the schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_name": pd.Series([], dtype=str)})
+    return out
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""

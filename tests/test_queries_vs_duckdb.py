@@ -61,6 +61,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "topk_orders", "distinct_brands", "events_hourly_window",
     "events_sessions", "label_counts", "doc_stats", "doc_lang_id",
     "doc_fingerprint", "dedup_exact", "knn_brute_force",
+    "join_lineitem_orders_priority", "semi_join_customers_with_orders",
+    "anti_join_customers_no_orders",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -76,7 +78,9 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
     non_sql = {"extract_turns", "assemble_conversations", "dedup_minhash_lsh",
                "dedup_simhash", "dedup_ngram_jaccard", "knn_lsh",
-               "embedding_near_dup", "multimodal_features"}
+               "embedding_near_dup", "multimodal_features", "sample_events",
+               "qa_turn_metrics", "qa_content_accounting",
+               "qa_against_expected", "segment_turns"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
 
