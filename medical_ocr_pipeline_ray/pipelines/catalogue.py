@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_turn_metrics": qa.qa_turn_metrics,
         "qa_content_accounting": qa.qa_content_accounting,
         "qa_against_expected": qa.qa_against_expected,
+        "topk_boilerplate_turns": qa.topk_boilerplate_turns,
         # segment assembly (SURVEY L5)
         "segment_turns": segments.segment_turns,
         # text analysis (training-data ops)

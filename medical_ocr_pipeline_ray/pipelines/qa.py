@@ -99,6 +99,65 @@ def qa_content_accounting(sf_dir: str):
     return ex_agg.map_batches(attach, batch_format="pandas")
 
 
+def topk_boilerplate_turns(sf_dir: str, k: int = 20):
+    """Top-k turns by boilerplate-stripped char count (raw − extracted) —
+    the reference's 'top-N most-changed blocks' QA view (O3,
+    notebooks/03a_llm_cleanup_qa.ipynb TOP_N=12) as sort(desc).limit(k)."""
+    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+
+    # raw length must be captured before the projection drops text — carry
+    # it via a pre-pass that appends raw_chars ahead of extraction
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    def with_raw(batch: pa_.Table) -> pa_.Table:
+        rc = pc_.utf8_length(pc_.fill_null(batch["text"], ""))
+        if "raw_chars" in batch.column_names:
+            batch = batch.drop_columns(["raw_chars"])
+        return batch.append_column("raw_chars",
+                                   pc_.cast(rc, pa_.int32()))
+
+    turns = build_turns_pipeline(ds.map_batches(with_raw,
+                                                batch_format="pyarrow"),
+                                 keep_cols=("raw_chars",))
+
+    def delta(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"].astype(np.int32),
+            "payload_class": df["payload_class"],
+            "chars_removed": (df["raw_chars"].astype(np.int64) -
+                              df["content_chars"].astype(np.int64))})
+        return out
+
+    scored = turns.map_batches(delta, batch_format="pandas")
+    return scored.sort(["chars_removed", "conv_id", "turn_idx"],
+                       descending=[True, False, False]).limit(k)
+
+
+def export_metrics_csv(out_dir: str) -> str:
+    """Write the checkpoint manifest's per-partition metrics as a CSV
+    sidecar (reference S6: per-stage QA CSV writers, e.g.
+    notebooks/02_cleanup_blocks.ipynb _qa_cleanup.csv)."""
+    import csv
+    import os
+
+    from ..state.manifest import load_manifest
+    man = load_manifest(out_dir)
+    path = os.path.join(out_dir, "metrics.csv")
+    classes = sorted({c for r in man.values()
+                      for c in r.get("class_histogram", {})})
+    with open(path + ".tmp", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["partition", "rows", "content_chars", *classes])
+        for name in sorted(man):
+            r = man[name]
+            w.writerow([name, r["rows"], r["content_chars"],
+                        *[r["class_histogram"].get(c, 0) for c in classes]])
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def qa_against_expected(sf_dir: str):
     """Per-turn CER/WER vs the generator sidecar, aggregated: rows,
     mismatches, mean/max CER.  Expected sidecar is broadcast-free: both

@@ -79,6 +79,35 @@ def test_segment_turns(ray_session):
     assert a.equals(b)
 
 
+def test_topk_boilerplate_turns(ray_session):
+    from medical_ocr_pipeline_ray.pipelines.qa import topk_boilerplate_turns
+    df = _pdf(topk_boilerplate_turns(SF_DIR))
+    assert len(df) == 20
+    assert (df["chars_removed"].to_numpy() >= 0).all()
+    assert (np.diff(df["chars_removed"].to_numpy()) <= 0).all()  # desc order
+    # the biggest strippers are html or pdf-payload turns
+    assert set(df.head(5)["payload_class"]) <= {"html", "tool_pdf_payload"}
+
+
+def test_export_metrics_csv(ray_session, tmp_path):
+    import csv
+    from medical_ocr_pipeline_ray.pipelines.extract_pipeline import (
+        run_extraction)
+    from medical_ocr_pipeline_ray.pipelines.qa import export_metrics_csv
+    from medical_ocr_pipeline_ray.sources.transcripts import transcripts_dir
+    out = str(tmp_path / "csvout")
+    run_extraction(transcripts_dir("t1"), out, assemble=False)
+    path = export_metrics_csv(out)
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:3] == ["partition", "rows", "content_chars"]
+    assert len(rows) == 5   # header + 4 partitions
+    from medical_ocr_pipeline_ray.synth import TIERS, gen_transcripts
+    n_convs, lo, hi, skew, _sh = TIERS["t1"]
+    expected = len(gen_transcripts(n_convs, 42, lo, hi, skew))
+    assert sum(int(r[1]) for r in rows[1:]) == expected
+
+
 def test_sample_events_seeded(ray_session):
     from medical_ocr_pipeline_ray.pipelines.catalogue import sample_events
     n1 = sample_events(SF_DIR).count()

@@ -80,7 +80,8 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
                "dedup_simhash", "dedup_ngram_jaccard", "knn_lsh",
                "embedding_near_dup", "multimodal_features", "sample_events",
                "qa_turn_metrics", "qa_content_accounting",
-               "qa_against_expected", "segment_turns"}
+               "qa_against_expected", "segment_turns",
+               "topk_boilerplate_turns"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
 
