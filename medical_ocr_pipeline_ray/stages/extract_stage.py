@@ -75,7 +75,16 @@ def _result_arrays(texts: list[str], tools: list[str],
             out["needs_heavy"][i] = True
             out["spans"][i] = []
             continue
-        ex = extract_turn(text, tools[i] or "", cfg, cls=cls)
+        try:
+            ex = extract_turn(text, tools[i] or "", cfg, cls=cls)
+        except Exception:
+            # poison-row quarantine (reference: try/except-continue per
+            # block, e.g. 04_json_extraction.ipynb — SURVEY §4.2 dead
+            # letter): the row survives with class 'error' instead of
+            # killing the partition
+            out["payload_class"][i] = "error"
+            out["spans"][i] = []
+            continue
         out["text_extracted"][i] = ex.text_extracted
         out["spans"][i] = ex.spans
         out["blocks_kept"][i] = ex.blocks_kept
@@ -256,8 +265,18 @@ class HeavyExtractor:
             "blocks_kept": [], "blocks_dropped_dup": [], "content_chars": [],
             "needs_heavy": [False] * len(texts)}
         for text, tool, kls in zip(texts, tools, klass):
-            ex = extract_turn(text or "", tool or "", self.cfg,
-                              cls=kls or None)
+            try:
+                ex = extract_turn(text or "", tool or "", self.cfg,
+                                  cls=kls or None)
+            except Exception:
+                # poison-row quarantine (SURVEY §4.2) — see _result_arrays
+                res["payload_class"].append("error")
+                res["text_extracted"].append("")
+                res["spans"].append([])
+                res["blocks_kept"].append(0)
+                res["blocks_dropped_dup"].append(0)
+                res["content_chars"].append(0)
+                continue
             res["payload_class"].append(ex.payload_class)
             res["text_extracted"].append(ex.text_extracted)
             res["spans"].append(ex.spans)

@@ -137,6 +137,31 @@ def test_staged_assembly_with_mega_conversation(ray_session, tmp_path):
     assert os.path.isdir(os.path.join(out, "conversations", "merged"))
 
 
+def test_poison_row_quarantine(ray_session, monkeypatch):
+    """A row whose extraction raises survives as payload_class='error'
+    instead of failing the partition (SURVEY §4.2 dead-letter)."""
+    import pyarrow as pa
+    from medical_ocr_pipeline_ray.stages import extract_stage
+
+    def bomb(text, tool="", cfg=None, cls=None):
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(extract_stage, "extract_turn", bomb)
+    batch = pa.table({
+        "conv_id": pa.array(["c1", "c2"]),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", "tool"]),
+        "text": pa.array(["<p>some html that routes to python path</p>",
+                          "%PDFBLOCKS 1\nP 1 800 1000\n"
+                          "B 50 300 750 316 0.9 native|line"]),
+        "tool": pa.array(["", "pdf_reader"]),
+    })
+    out = extract_stage.extract_full_batch(batch)
+    df = out.to_pandas().sort_values("conv_id")
+    assert list(df["payload_class"]) == ["error", "error"]
+    assert list(df["text_extracted"]) == ["", ""]
+
+
 def test_resume_partition_exact(ray_session, tmp_path):
     """FIXTURES F5 resume: kill after K waves → resume → identical output
     and identical manifest vs an uninterrupted run."""
