@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers_no_orders":
             relational.anti_join_customers_no_orders,
         "sample_events": sample_events,
+        "events_json_props": relational.events_json_props,
+        "doc_top_tokens": relational.doc_top_tokens,
+        "q3_segment_revenue": relational.q3_segment_revenue,
         # QA / stage metrics (SURVEY §2.5, §5)
         "qa_turn_metrics": qa.qa_turn_metrics,
         "qa_content_accounting": qa.qa_content_accounting,
@@ -114,6 +117,9 @@ def oracle_sql() -> dict[str, str]:
         "join_lineitem_orders_priority": relational.JOIN_PRIORITY_SQL,
         "semi_join_customers_with_orders": relational.SEMI_JOIN_SQL,
         "anti_join_customers_no_orders": relational.ANTI_JOIN_SQL,
+        "events_json_props": relational.EVENTS_JSON_SQL,
+        "doc_top_tokens": relational.DOC_TOP_TOKENS_SQL,
+        "q3_segment_revenue": relational.Q3_SQL,
         "doc_stats": textops.DOC_STATS_SQL,
         "doc_lang_id": textops.DOC_LANG_SQL,
         "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,

@@ -486,3 +486,151 @@ ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured parsing: JSON-in-string props column (events)
+# ---------------------------------------------------------------------------
+
+def events_json_props(sf_dir: str):
+    """Parse the JSON ``props`` column per row and aggregate the extracted
+    field per event type (vectorized-enough: json.loads in a batch map,
+    integer aggregates → exact SQL parity via DuckDB json_extract)."""
+    import json
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.fromiter((int(json.loads(p)["k"]) for p in df["props"]),
+                         dtype=np.int64, count=len(df))
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "sum_k": ks,
+                          "max_k": ks,
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby("event_type", as_index=False).agg(
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"), n=("n", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Max as _Max
+    return partials.groupby("event_type").aggregate(
+        Sum("sum_k", alias_name="sum_k"),
+        _Max("max_k", alias_name="max_k"),
+        Sum("n", alias_name="n_events"))
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token explode + corpus frequency top-k (flat_map + shuffle + top-k)
+# ---------------------------------------------------------------------------
+
+def doc_top_tokens(sf_dir: str, k: int = 20):
+    """Corpus-wide token frequencies, top-k (count desc, token asc).
+    Tokens are pre-counted per batch (combiner) so the shuffle moves
+    (token, partial_count) rows, never the exploded token stream."""
+    from collections import Counter
+
+    from ..functions.fingerprint import words
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(words(t))
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        toks, counts = zip(*sorted(c.items()))
+        return pd.DataFrame({"token": list(toks),
+                             "n": np.array(counts, dtype=np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+DOC_TOP_TOKENS_SQL = """
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents) t
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3-table pipeline: filter dim → broadcast → fact partial agg → top-k (Q3-ish)
+# ---------------------------------------------------------------------------
+
+def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
+    cust = pq.read_table(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_keys = set(
+        pa.Table.from_arrays(
+            [cust["c_custkey"].combine_chunks()], names=["k"]
+        ).filter(pc.equal(cust["c_mktsegment"].combine_chunks(),
+                          segment))["k"].to_pylist())
+    orders = pq.read_table(_t(sf_dir, "orders"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    omask = pc.is_in(orders["o_custkey"],
+                     value_set=pa.array(list(seg_keys), pa.int64()))
+    seg_orders = orders.filter(omask)
+    okeys = seg_orders["o_orderkey"].to_pylist()
+    odates_us = pc.cast(seg_orders["o_orderdate"], pa.int64()).to_pylist()
+    odate = {int(k): int(us // 1_000_000)   # epoch seconds
+             for k, us in zip(okeys, odates_us)}
+    oref = ray.put(odate)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(df: pd.DataFrame, _oref=oref) -> pd.DataFrame:
+        om = ray.get(_oref)
+        mask = df["l_orderkey"].isin(om.keys())
+        df = df[mask]
+        if df.empty:
+            return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
+                                 "o_date_s": pd.Series([], dtype=np.int64),
+                                 "rev_u": pd.Series([], dtype=np.int64)})
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        t = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "o_date_s": df["l_orderkey"].map(om).astype(np.int64),
+            "rev_u": _micros(price * (1.0 - disc))})
+        return t.groupby(["l_orderkey", "o_date_s"], as_index=False).sum()
+
+    partials = li.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_orderkey", "o_date_s"]).aggregate(
+        Sum("rev_u", alias_name="rev_u"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                             "o_date_s": df["o_date_s"],
+                             "revenue": df["rev_u"] / 1_000_000.0})
+
+    return (agg.map_batches(finish, batch_format="pandas")
+            .sort(["revenue", "l_orderkey"], descending=[True, False])
+            .limit(k))
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date_s,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+         /1000000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_date_s
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""

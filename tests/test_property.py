@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis): extraction invariants hold for
+ARBITRARY inputs, not just the synthetic corpus."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from medical_ocr_pipeline_ray.functions.extract import extract_turn
+from medical_ocr_pipeline_ray.functions.ocr_correct import (correct_text,
+                                                            digits_pattern)
+from medical_ocr_pipeline_ray.functions.pdfblocks import Block, dedup_blocks
+from medical_ocr_pipeline_ray.functions.fingerprint import (minhash_signature,
+                                                            simhash64)
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS, st.sampled_from(["", "pdf_reader", "browser"]))
+def test_extract_total_and_deterministic(text, tool):
+    """extract_turn never raises, spans index the raw text, and the result
+    is deterministic."""
+    a = extract_turn(text, tool)
+    b = extract_turn(text, tool)
+    assert a == b
+    for s in a.spans:
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+    assert a.payload_class in {"plain", "html", "markdown", "ocr_noisy",
+                               "tool_pdf_payload", "empty"}
+    if a.payload_class == "empty":
+        assert a.text_extracted == ""
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXTS)
+def test_correction_digit_invariance(text):
+    """Fuzzy correction can never alter the numeric-token multiset relative
+    to the rules+dictionary base (reference choose_text M13)."""
+    from medical_ocr_pipeline_ray.functions.ocr_correct import (
+        apply_dictionary, apply_rules)
+    base = apply_dictionary(apply_rules(text))
+    out = correct_text(text)
+    assert digits_pattern(out) == digits_pattern(base)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.floats(0.5, 1.0),
+                          st.integers(0, 900),
+                          st.text(alphabet="abcdef ", min_size=5,
+                                  max_size=40)),
+                min_size=0, max_size=12),
+       st.randoms(use_true_random=False))
+def test_dedup_order_invariant(specs, rnd):
+    """Greedy per-page dedup is deterministic under input permutation
+    (SURVEY §4.3: order-dependent greedy needs a total tie-break)."""
+    blocks = [Block(1, 10.0, float(y), 500.0, float(y) + 16, conf, "native",
+                    txt, 0, len(txt))
+              for conf, y, txt in specs]
+    kept1, _ = dedup_blocks(list(blocks))
+    shuffled = list(blocks)
+    rnd.shuffle(shuffled)
+    kept2, _ = dedup_blocks(shuffled)
+    key = lambda b: (b.conf, b.y0, b.x0, b.text)
+    assert sorted(map(key, kept1)) == sorted(map(key, kept2))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abcdefgh ", max_size=300))
+def test_sketches_deterministic(text):
+    assert (minhash_signature(text) == minhash_signature(text)).all()
+    assert simhash64(text) == simhash64(text)
