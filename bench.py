@@ -42,6 +42,10 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "knn_brute_force",
     "multimodal_features",
+    "events_json_props",
+    "doc_top_tokens",
+    "q3_segment_revenue",
+    "join_lineitem_orders_priority",
 )
 
 
