@@ -594,9 +594,10 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
                                   "l_discount"])
 
     def partial(df: pd.DataFrame, _oref=oref) -> pd.DataFrame:
-        om = ray.get(_oref)
-        mask = df["l_orderkey"].isin(om.keys())
-        df = df[mask]
+        om = ray.get(_oref)   # per-worker deserialized once (plasma cache)
+        dates = df["l_orderkey"].map(om)   # one hash probe: lookup+filter
+        keep = dates.notna()
+        df, dates = df[keep], dates[keep]
         if df.empty:
             return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
                                  "o_date_s": pd.Series([], dtype=np.int64),
@@ -605,21 +606,28 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         disc = df["l_discount"].to_numpy()
         t = pd.DataFrame({
             "l_orderkey": df["l_orderkey"].to_numpy(),
-            "o_date_s": df["l_orderkey"].map(om).astype(np.int64),
+            "o_date_s": dates.astype(np.int64).to_numpy(),
             "rev_u": _micros(price * (1.0 - disc))})
-        return t.groupby(["l_orderkey", "o_date_s"], as_index=False).sum()
+        t = t.groupby(["l_orderkey", "o_date_s"], as_index=False).sum()
+        # coarse shuffle key: Ray's aggregate pays ~1 ms per GROUP, so a
+        # 10^4-key groupby goes through 64 hash buckets with the fine
+        # aggregation vectorized in pandas inside each bucket
+        t["bucket"] = (t["l_orderkey"] % 64).astype(np.int32)
+        return t
 
-    partials = li.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["l_orderkey", "o_date_s"]).aggregate(
-        Sum("rev_u", alias_name="rev_u"))
+    partials = li.map_batches(partial, batch_format="pandas",
+                              batch_size=16384)
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"l_orderkey": df["l_orderkey"],
-                             "o_date_s": df["o_date_s"],
-                             "revenue": df["rev_u"] / 1_000_000.0})
+    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(["l_orderkey", "o_date_s"], as_index=False)[
+            "rev_u"].sum()
+        return pd.DataFrame({"l_orderkey": t["l_orderkey"],
+                             "o_date_s": t["o_date_s"],
+                             "revenue": t["rev_u"] / 1_000_000.0})
 
-    return (agg.map_batches(finish, batch_format="pandas")
-            .sort(["revenue", "l_orderkey"], descending=[True, False])
+    agg = partials.groupby("bucket").map_groups(agg_bucket,
+                                                batch_format="pandas")
+    return (agg.sort(["revenue", "l_orderkey"], descending=[True, False])
             .limit(k))
 
 
