@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "distinct_brands": relational.distinct_brands,
         "events_hourly_window": relational.events_hourly_window,
+        "events_sliding_window": relational.events_sliding_window,
         "events_sessions": relational.events_sessions,
         "label_counts": relational.label_counts,
         "join_lineitem_orders_priority":
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": relational.TOPK_SQL,
         "distinct_brands": relational.DISTINCT_SQL,
         "events_hourly_window": relational.EVENTS_WINDOW_SQL,
+        "events_sliding_window": relational.EVENTS_SLIDING_SQL,
         "events_sessions": relational.EVENTS_SESSIONS_SQL,
         "label_counts": relational.LABEL_COUNTS_SQL,
         "join_lineitem_orders_priority": relational.JOIN_PRIORITY_SQL,

@@ -315,6 +315,44 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+def events_sliding_window(sf_dir: str, size_s: int = 3600, slide_s: int = 1800):
+    """Sliding event-time window (size 1 h, slide 30 min): each event lands
+    in size/slide windows — emitted per batch, pre-aggregated, then a tiny
+    groupby.  The standard batch re-expression of a streaming sliding
+    window over a partitioned log."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    n_windows = size_s // slide_s
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].astype("int64").to_numpy() // 1_000_000
+        base = (s // slide_s) * slide_s
+        frames = []
+        for i in range(n_windows):
+            frames.append(pd.DataFrame({
+                "event_type": df["event_type"].to_numpy(),
+                "window_start": base - i * slide_s,
+                "n": np.ones(len(df), dtype=np.int64)}))
+        t = pd.concat(frames, ignore_index=True)
+        return t.groupby(["event_type", "window_start"],
+                         as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"))
+
+
+EVENTS_SLIDING_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+x AS (
+  SELECT event_type, (s // 1800) * 1800 AS window_start FROM e
+  UNION ALL
+  SELECT event_type, (s // 1800) * 1800 - 1800 AS window_start FROM e)
+SELECT event_type, window_start, count(*) AS n_events
+FROM x GROUP BY event_type, window_start
+"""
+
+
 def events_sessions(sf_dir: str, gap_seconds: int = 1800):
     """Per-user session count with a 30-min inactivity gap.  The per-key
     ordered scan runs inside ``map_groups`` over ``groupby(user_id)`` —
@@ -632,7 +670,7 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
 
 
 Q3_SQL = """
-SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date_s,
+SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_s,
        sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
          /1000000.0 AS revenue
 FROM customer
