@@ -6,8 +6,10 @@ representative subset of catalogue queries over the sf tables.
 
 Usage:
     python bench.py                 # single run at $RAY_GRAFT_CPUS (def. 32)
-    python bench.py --scaling       # fresh processes at 8 and 32 CPUs on the
-                                    # same input → throughputs + efficiency
+    python bench.py --scaling       # fresh processes at BENCH_SCALE_LO and
+                                    # BENCH_SCALE_HI CPUs (default 4 and 16)
+                                    # on the same input → throughputs +
+                                    # efficiency
 """
 
 from __future__ import annotations

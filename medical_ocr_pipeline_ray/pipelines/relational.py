@@ -418,6 +418,10 @@ def join_lineitem_orders_priority(sf_dir: str):
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"])
 
+    # both key maps emit the SAME column set (missing side filled with a
+    # typed placeholder) so the union is schema-stable — no Ray schema
+    # warnings and the int64 rev_u never round-trips through float64 in
+    # mixed groups
     def key_li(df: pd.DataFrame) -> pd.DataFrame:
         price = df["l_extendedprice"].to_numpy()
         disc = df["l_discount"].to_numpy()
@@ -426,6 +430,7 @@ def join_lineitem_orders_priority(sf_dir: str):
             .astype(np.int32),
             "orderkey": df["l_orderkey"].to_numpy(),
             "rev_u": _micros(price * (1.0 - disc)),
+            "priority": np.full(len(df), "", dtype=object),
             "side": np.zeros(len(df), dtype=np.int8)})
 
     def key_orders(df: pd.DataFrame) -> pd.DataFrame:
@@ -433,6 +438,7 @@ def join_lineitem_orders_priority(sf_dir: str):
             "bucket": (df["o_orderkey"].to_numpy() % _JOIN_BUCKETS)
             .astype(np.int32),
             "orderkey": df["o_orderkey"].to_numpy(),
+            "rev_u": np.zeros(len(df), dtype=np.int64),
             "priority": df["o_orderpriority"].to_numpy(),
             "side": np.ones(len(df), dtype=np.int8)})
 
@@ -559,7 +565,8 @@ def events_json_props(sf_dir: str):
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        count(*) AS n_events
 FROM events GROUP BY event_type
