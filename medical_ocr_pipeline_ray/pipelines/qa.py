@@ -130,9 +130,10 @@ def topk_boilerplate_turns(sf_dir: str, k: int = 20):
                               df["content_chars"].astype(np.int64))})
         return out
 
+    from .relational import local_topk
     scored = turns.map_batches(delta, batch_format="pandas")
-    return scored.sort(["chars_removed", "conv_id", "turn_idx"],
-                       descending=[True, False, False]).limit(k)
+    return local_topk(scored, ["chars_removed", "conv_id", "turn_idx"],
+                      [True, False, False], k)
 
 
 def export_metrics_csv(out_dir: str) -> str:

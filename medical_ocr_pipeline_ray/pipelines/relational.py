@@ -250,11 +250,25 @@ GROUP BY n_name
 # Sort / top-k / distinct
 # ---------------------------------------------------------------------------
 
+def local_topk(ds, keys: list[str], descending: list[bool], k: int):
+    """Top-k without a total sort: per-batch partial top-k (each batch
+    contributes ≤ k rows), then one small sort over the ≤ n_batches·k
+    surviving rows.  Replaces the all-to-all sort shuffle with a
+    combiner-style merge — the scale shape for k ≪ n."""
+    ascending = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=ascending,
+                              kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.sort(keys, descending=descending).limit(k)
+
+
 def topk_orders(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"],
-                   descending=[True, False]).limit(10)
+    return local_topk(ds, ["o_totalprice", "o_orderkey"], [True, False], 10)
 
 
 TOPK_SQL = """
@@ -353,24 +367,51 @@ FROM x GROUP BY event_type, window_start
 """
 
 
+_SESSION_BUCKETS = 32
+
+
 def events_sessions(sf_dir: str, gap_seconds: int = 1800):
-    """Per-user session count with a 30-min inactivity gap.  The per-key
-    ordered scan runs inside ``map_groups`` over ``groupby(user_id)`` —
-    the partitioned-log pattern for stream-shaped data."""
+    """Per-user session count with a 30-min inactivity gap.
+
+    Bucketed fold (stages/assemble.py pattern): group by the COARSE key
+    ``user_id % P`` — one ``map_groups`` task per bucket, not per user
+    (Ray pays ~1 ms of framework overhead per group; per-user grouping is
+    catastrophic at 10^8 users) — then detect per-user session breaks
+    vectorized over the whole sorted bucket with numpy run boundaries."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("int64").to_numpy()
-        brk = (np.diff(us) > gap_seconds * 1_000_000).sum() if len(us) > 1 \
-            else 0
-        return pd.DataFrame([{
-            "user_id": int(g["user_id"].iloc[0]),
-            "n_events": int(len(g)),
-            "n_sessions": int(1 + brk)}])
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % _SESSION_BUCKETS)
+            .astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "ts_us": df["ts"].astype("int64").to_numpy()})
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        same_user = uid[1:] == uid[:-1]
+        brk = same_user & (np.diff(ts) > gap_seconds * 1_000_000)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(~same_user) + 1)) if n > 1 \
+            else np.array([0])
+        ends = np.concatenate((starts[1:], [n]))
+        brk_cum = np.concatenate(([0], np.cumsum(brk)))
+        return pd.DataFrame({
+            "user_id": uid[starts].astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+            # breaks within a user run = brk_cum[end-1] - brk_cum[start]
+            "n_sessions": (1 + brk_cum[ends - 1] -
+                           brk_cum[starts]).astype(np.int64)})
+
+    return keyed.groupby("bucket").map_groups(fold_bucket,
+                                              batch_format="pandas")
 
 
 EVENTS_SESSIONS_SQL = """
@@ -483,22 +524,53 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
-# Semi / anti join: broadcast the key set, filter inside map_batches
+# Semi / anti join: bucketed exchange on the key — the fact side's keys are
+# batch-deduped (combiner) then hash-bucketed; the semi/anti filter runs
+# per bucket inside map_groups.  No driver-side key-set materialization
+# (round-1 pulled every o_custkey into a driver Python set — a scale
+# killer when orders is the 100 TB fact table).
 # ---------------------------------------------------------------------------
 
+def _semi_anti_join(sf_dir: str, anti: bool):
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def key_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["c_custkey"].to_numpy() % _JOIN_BUCKETS)
+            .astype(np.int32),
+            "custkey": df["c_custkey"].to_numpy(),
+            "c_name": df["c_name"].astype(object),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def key_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = pd.unique(df["o_custkey"])   # batch-level combiner: the
+        return pd.DataFrame({             # shuffle moves distinct keys only
+            "bucket": (ks % _JOIN_BUCKETS).astype(np.int32),
+            "custkey": ks,
+            "c_name": np.full(len(ks), "", dtype=object),
+            "side": np.ones(len(ks), dtype=np.int8)})
+
+    both = cust.map_batches(key_cust, batch_format="pandas").union(
+        orders.map_batches(key_orders, batch_format="pandas"))
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == 1, "custkey"])
+        c = g[g["side"] == 0]
+        mask = ~c["custkey"].isin(have) if anti else c["custkey"].isin(have)
+        c = c[mask]
+        return pd.DataFrame({
+            "c_custkey": c["custkey"].to_numpy().astype(np.int64),
+            "c_name": c["c_name"].astype(object)})
+
+    return both.groupby("bucket").map_groups(filter_bucket,
+                                             batch_format="pandas")
+
+
 def semi_join_customers_with_orders(sf_dir: str):
-    """Customers having ≥1 order (semi join via broadcast key set)."""
-    keys = set(pq.read_table(_t(sf_dir, "orders"),
-                             columns=["o_custkey"])["o_custkey"].to_pylist())
-    kref = ray.put(keys)
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_name"])
-
-    def fn(df: pd.DataFrame, _kref=kref) -> pd.DataFrame:
-        ks = ray.get(_kref)
-        return df[df["c_custkey"].isin(ks)]
-
-    return ds.map_batches(fn, batch_format="pandas")
+    """Customers having ≥1 order (bucketed semi join)."""
+    return _semi_anti_join(sf_dir, anti=False)
 
 
 SEMI_JOIN_SQL = """
@@ -508,19 +580,12 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def anti_join_customers_no_orders(sf_dir: str):
-    """Customers with NO orders (anti join via broadcast key set)."""
-    keys = set(pq.read_table(_t(sf_dir, "orders"),
-                             columns=["o_custkey"])["o_custkey"].to_pylist())
-    kref = ray.put(keys)
-    ds = rd.read_parquet(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_name"])
-
-    def fn(df: pd.DataFrame, _kref=kref) -> pd.DataFrame:
-        ks = ray.get(_kref)
-        return df[~df["c_custkey"].isin(ks)]
-
-    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
-    if out.empty:   # typed empty frame — Dataset.to_pandas drops the schema
+    """Customers with NO orders (bucketed anti join).  The RESULT (not an
+    input) is materialized to a typed frame: an all-empty Dataset loses
+    its schema on to_pandas, and the anti-join output is bounded by the
+    dim side's cardinality."""
+    out = _semi_anti_join(sf_dir, anti=True).to_pandas()
+    if out.empty:
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
                             "c_name": pd.Series([], dtype=str)})
     return out
@@ -600,7 +665,9 @@ def doc_top_tokens(sf_dir: str, k: int = 20):
 
     partials = ds.map_batches(partial, batch_format="pandas")
     agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
-    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+    # distinct-token cardinality can be huge → local per-batch top-k +
+    # small merge instead of a total sort
+    return local_topk(agg, ["n", "token"], [True, False], k)
 
 
 DOC_TOP_TOKENS_SQL = """
@@ -616,64 +683,81 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 # ---------------------------------------------------------------------------
 
 def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
-    cust = pq.read_table(_t(sf_dir, "customer"),
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_keys = set(
-        pa.Table.from_arrays(
-            [cust["c_custkey"].combine_chunks()], names=["k"]
-        ).filter(pc.equal(cust["c_mktsegment"].combine_chunks(),
-                          segment))["k"].to_pylist())
-    orders = pq.read_table(_t(sf_dir, "orders"),
-                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    omask = pc.is_in(orders["o_custkey"],
-                     value_set=pa.array(list(seg_keys), pa.int64()))
-    seg_orders = orders.filter(omask)
-    okeys = seg_orders["o_orderkey"].to_pylist()
-    odates_us = pc.cast(seg_orders["o_orderdate"], pa.int64()).to_pylist()
-    odate = {int(k): int(us // 1_000_000)   # epoch seconds
-             for k, us in zip(okeys, odates_us)}
-    oref = ray.put(odate)
+    """Q3-style 3-table pipeline, scale shape (round-2 rewrite):
+
+    - customer is the DIM side: only the segment-FILTERED custkeys are
+      read (row-group-pruned, 2 columns) and broadcast via ``ray.put`` —
+      a true small-side broadcast, not the fact table.
+    - orders ⋈ lineitem is a fact-fact BUCKETED hash join on orderkey
+      (same pattern as join_lineitem_orders_priority): orders filtered to
+      the segment in-flight, lineitem pre-aggregated per (orderkey) per
+      batch, both sides shuffled by ``orderkey % 64`` only as slim
+      (bucket, orderkey, int64) rows — the round-1 version built a
+      driver-side dict of every BUILDING order (driver OOM at 100 TB).
+    - per-bucket fine aggregation is vectorized pandas; per-bucket local
+      top-k caps the final sort at buckets·k rows.
+    """
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "==", segment)])
+    seg_ref = ray.put(set(cust["c_custkey"].to_pylist()))
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def key_orders(df: pd.DataFrame, _ref=seg_ref) -> pd.DataFrame:
+        seg_keys = ray.get(_ref)   # per-worker plasma-cached
+        df = df[df["o_custkey"].isin(seg_keys)]
+        date_s = (df["o_orderdate"].astype("int64") // 1_000_000).to_numpy()
+        return pd.DataFrame({
+            "bucket": (df["o_orderkey"].to_numpy() % 64).astype(np.int32),
+            "orderkey": df["o_orderkey"].to_numpy(),
+            "o_date_s": date_s.astype(np.int64),
+            "rev_u": np.zeros(len(df), dtype=np.int64),
+            "side": np.ones(len(df), dtype=np.int8)})
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
 
-    def partial(df: pd.DataFrame, _oref=oref) -> pd.DataFrame:
-        om = ray.get(_oref)   # per-worker deserialized once (plasma cache)
-        dates = df["l_orderkey"].map(om)   # one hash probe: lookup+filter
-        keep = dates.notna()
-        df, dates = df[keep], dates[keep]
-        if df.empty:
-            return pd.DataFrame({"l_orderkey": pd.Series([], dtype=np.int64),
-                                 "o_date_s": pd.Series([], dtype=np.int64),
-                                 "rev_u": pd.Series([], dtype=np.int64)})
+    def key_li(df: pd.DataFrame) -> pd.DataFrame:
         price = df["l_extendedprice"].to_numpy()
         disc = df["l_discount"].to_numpy()
         t = pd.DataFrame({
-            "l_orderkey": df["l_orderkey"].to_numpy(),
-            "o_date_s": dates.astype(np.int64).to_numpy(),
+            "orderkey": df["l_orderkey"].to_numpy(),
             "rev_u": _micros(price * (1.0 - disc))})
-        t = t.groupby(["l_orderkey", "o_date_s"], as_index=False).sum()
-        # coarse shuffle key: Ray's aggregate pays ~1 ms per GROUP, so a
-        # 10^4-key groupby goes through 64 hash buckets with the fine
-        # aggregation vectorized in pandas inside each bucket
-        t["bucket"] = (t["l_orderkey"] % 64).astype(np.int32)
-        return t
+        t = t.groupby("orderkey", as_index=False).sum()   # batch combiner
+        return pd.DataFrame({
+            "bucket": (t["orderkey"].to_numpy() % 64).astype(np.int32),
+            "orderkey": t["orderkey"].to_numpy(),
+            "o_date_s": np.zeros(len(t), dtype=np.int64),
+            "rev_u": t["rev_u"].to_numpy().astype(np.int64),
+            "side": np.zeros(len(t), dtype=np.int8)})
 
-    partials = li.map_batches(partial, batch_format="pandas",
-                              batch_size=16384)
+    both = orders.map_batches(key_orders, batch_format="pandas").union(
+        li.map_batches(key_li, batch_format="pandas", batch_size=16384))
 
-    def agg_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.groupby(["l_orderkey", "o_date_s"], as_index=False)[
-            "rev_u"].sum()
-        return pd.DataFrame({"l_orderkey": t["l_orderkey"],
-                             "o_date_s": t["o_date_s"],
-                             "revenue": t["rev_u"] / 1_000_000.0})
+    def join_bucket(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        right = g[g["side"] == 1][["orderkey", "o_date_s"]]
+        left = g[g["side"] == 0][["orderkey", "rev_u"]]
+        left = left.groupby("orderkey", as_index=False).sum()
+        m = left.merge(right, on="orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype=np.int64),
+                "o_date_s": pd.Series([], dtype=np.int64),
+                "revenue": pd.Series([], dtype=np.float64)})
+        out = pd.DataFrame({"l_orderkey": m["orderkey"].astype(np.int64),
+                            "o_date_s": m["o_date_s"].astype(np.int64),
+                            "revenue": m["rev_u"] / 1_000_000.0})
+        return out.sort_values(["revenue", "l_orderkey"],
+                               ascending=[False, True]).head(_k)
 
-    agg = partials.groupby("bucket").map_groups(agg_bucket,
-                                                batch_format="pandas")
-    return (agg.sort(["revenue", "l_orderkey"], descending=[True, False])
-            .limit(k))
+    per_bucket = both.groupby("bucket").map_groups(join_bucket,
+                                                   batch_format="pandas")
+    return (per_bucket.sort(["revenue", "l_orderkey"],
+                            descending=[True, False]).limit(k))
 
 
 Q3_SQL = """

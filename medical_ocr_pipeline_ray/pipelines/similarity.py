@@ -33,12 +33,15 @@ def _emb_matrix(df: pd.DataFrame) -> np.ndarray:
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"])
-    q = np.asarray(tbl["embedding"][int(np.argmin(ids))].as_py(),
-                   dtype=np.float64)
-    return q
+    """The min-vec_id embedding as the query vector — two PRUNED reads
+    (id column scan, then a row-filtered single-row fetch), never the
+    whole vector corpus on the driver."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"]
+    qid = int(np.asarray(ids).min())
+    row = pq.read_table(path, columns=["embedding"],
+                        filters=[("vec_id", "==", qid)])
+    return np.asarray(row["embedding"][0].as_py(), dtype=np.float64)
 
 
 def knn_brute_force(sf_dir: str, k: int = 10):
@@ -56,8 +59,9 @@ def knn_brute_force(sf_dir: str, k: int = 10):
                              "cosine": sims})
 
     scored = ds.map_batches(score, batch_format="pandas")
-    top = scored.sort(["cosine", "vec_id"],
-                      descending=[True, False]).limit(k).to_pandas()
+    from .relational import local_topk
+    top = local_topk(scored, ["cosine", "vec_id"],
+                     [True, False], k).to_pandas()
     top = top.reset_index(drop=True)
     return pd.DataFrame({
         "rank": np.arange(1, len(top) + 1, dtype=np.int64),
@@ -118,8 +122,9 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 3)
             "cosine": sims})
 
     scored = ds.map_batches(score, batch_format="pandas")
-    top = (scored.sort(["cosine", "vec_id"], descending=[True, False])
-           .limit(k).to_pandas().reset_index(drop=True))
+    from .relational import local_topk
+    top = (local_topk(scored, ["cosine", "vec_id"], [True, False], k)
+           .to_pandas().reset_index(drop=True))
     return pd.DataFrame({
         "rank": np.arange(1, len(top) + 1, dtype=np.int64),
         "vec_id": top["vec_id"].astype(np.int64)})
