@@ -48,6 +48,23 @@ class ExtractConfig:
     para_gap_y: float = 26.0
     header_band_frac: float = 0.10
     footer_band_frac: float = 0.10
+    # adaptive layout (reference 01b_normalize_layout.ipynb:~23):
+    # - merge_rows scales tolerances by the page's median text height
+    #   (0.60·med_h line tolerance; paragraph gap 1.60·med_h ≈ the fixed
+    #   14/26 px defaults at the reference's ~16 px text height),
+    # - detect_handwriting (height IQR) shrinks the banner bands,
+    # - maybe_two_columns splits on 2-means x-centers at ≥ 0.12·page width.
+    adaptive_layout: bool = True
+    line_tol_med_factor: float = 0.60
+    para_gap_med_factor: float = 1.60
+    two_column_min_sep_frac: float = 0.12
+    hw_iqr_factor: float = 0.35
+    hw_band_shrink: float = 0.5
+    # rescue escalation (reference GRID_RESCUE, 01_extract_blocks.ipynb:~88):
+    # first-pass body yield below rescue_min_chars promotes low-confidence
+    # blocks >= rescue_conf and re-runs the layout pass
+    rescue_min_chars: int = 40
+    rescue_conf: float = 0.35
     fuzzy_cutoff: float = 0.86
     fuzzy_max_corr: int = 200
     fuzzy_token_min_len: int = 3

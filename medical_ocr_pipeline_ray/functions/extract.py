@@ -71,9 +71,5 @@ def extract_turn(text: str, tool: str = "",
                            [{"start": 0, "end": len(text), "kind": "main"}],
                            1, 0)
     # tool_pdf_payload
-    out, spans, kept, dropped = extract_pdf_payload(
-        text, min_conf=cfg.min_conf, iou_thr=cfg.dedup_iou_thr,
-        sim_thr=cfg.dedup_sim_thr, tol_y=cfg.line_tol_y,
-        para_gap=cfg.para_gap_y, header_frac=cfg.header_band_frac,
-        footer_frac=cfg.footer_band_frac)
+    out, spans, kept, dropped = extract_pdf_payload(text, cfg)
     return TurnExtract(cls, out, spans, kept, dropped)

@@ -214,6 +214,121 @@ def _make_pdf_payload(rng: random.Random) -> tuple[str, str]:
     return raw, "\n".join(expected_paras)
 
 
+def _make_pdf_twocol(rng: random.Random) -> tuple[str, str]:
+    """Genuine two-column page: left column fully, then right column, with
+    STAGGERED row grids (real columns wrap independently — the y-alignment
+    guard in pdfblocks.maybe_two_columns keys on this).  Expected reading
+    order = all left-column paragraphs, then all right-column paragraphs;
+    without the L3 column split the columns would interleave in y order."""
+    width, height = 800.0, 1000.0
+    out_lines = ["%PDFBLOCKS 1", f"P 1 {width:g} {height:g}"]
+    records = [
+        "B 50 20 750 40 0.95 native|CONFIDENTIAL - Page 1",
+        "B 50 955 750 975 0.9 native|Generated by scanner"]
+    expected: list[str] = []
+    col_paras: dict[str, list[str]] = {"L": [], "R": []}
+    for col, x0, x1, y0 in (("L", 50, 380, 130.0), ("R", 420, 750, 137.0)):
+        y = y0
+        for _ in range(rng.randint(2, 3)):
+            para_lines = []
+            for _li in range(rng.randint(1, 2)):
+                line_text = _sentence(rng, GENERAL_WORDS, 3, 5)
+                records.append(
+                    f"B {x0} {y:g} {x1} {y + 16:g} 0.9 native|{line_text}")
+                para_lines.append(line_text)
+                y += 20.0
+            col_paras[col].append(" ".join(para_lines))
+            y += 20.0
+    expected = col_paras["L"] + col_paras["R"]
+    rng.shuffle(records)
+    out_lines.extend(records)
+    return "\n".join(out_lines), "\n".join(expected)
+
+
+def _make_pdf_bigfont(rng: random.Random) -> tuple[str, str]:
+    """Uniform large text (32 px): line spacing 40 px within a paragraph,
+    80 px between paragraphs.  Correct grouping NEEDS the median-height
+    adaptive tolerances (tol_y 19.2 / para gap 51.2) — the fixed 14/26 px
+    values would split every line into its own paragraph (L2 fixture)."""
+    width, height = 800.0, 1000.0
+    out_lines = ["%PDFBLOCKS 1", f"P 1 {width:g} {height:g}"]
+    records = [
+        "B 50 20 750 52 0.95 native|CONFIDENTIAL - Page 1",
+        "B 50 940 750 972 0.9 native|Generated by scanner"]
+    expected: list[str] = []
+    y = 150.0
+    for _ in range(rng.randint(2, 3)):
+        para_lines = []
+        for _li in range(rng.randint(1, 3)):
+            line_text = _sentence(rng, GENERAL_WORDS, 4, 8)
+            records.append(
+                f"B 50 {y:g} 750 {y + 32:g} 0.9 native|{line_text}")
+            para_lines.append(line_text)
+            y += 40.0
+        expected.append(" ".join(para_lines))
+        y += 40.0   # => 80 px between paragraphs
+    rng.shuffle(records)
+    out_lines.extend(records)
+    return "\n".join(out_lines), "\n".join(expected)
+
+
+def _make_pdf_handwriting(rng: random.Random) -> tuple[str, str]:
+    """Irregular text heights (12/28 px alternating → height IQR ≫
+    0.35·median) trigger handwriting detection, which SHRINKS the banner
+    bands ×0.5: the block at y=70 (inside the default 10% header band,
+    outside the shrunken 5% band) must appear in the body text."""
+    width, height = 800.0, 1000.0
+    out_lines = ["%PDFBLOCKS 1", f"P 1 {width:g} {height:g}"]
+    near_top = _sentence(rng, GENERAL_WORDS, 4, 7)
+    records = [
+        "B 50 20 750 40 0.95 native|CONFIDENTIAL - Page 1",
+        "B 50 955 750 975 0.9 native|Generated by scanner",
+        f"B 50 70 750 86 0.9 native|{near_top}"]
+    expected: list[str] = [near_top]
+    y = 150.0
+    for _ in range(rng.randint(2, 3)):
+        para_lines = []
+        for li in range(2):   # one short + one tall line per paragraph
+            h = 12 if li % 2 == 0 else 28
+            line_text = _sentence(rng, GENERAL_WORDS, 4, 7)
+            records.append(
+                f"B 50 {y:g} 750 {y + h:g} 0.85 native|{line_text}")
+            para_lines.append(line_text)
+            y += 24.0
+        expected.append(" ".join(para_lines))
+        y += 40.0   # => 64 px paragraph gap (> adaptive para gap 32)
+    rng.shuffle(records)
+    out_lines.extend(records)
+    return "\n".join(out_lines), "\n".join(expected)
+
+
+def _make_pdf_sparse(rng: random.Random) -> tuple[str, str]:
+    """Sparse page: one short confident line (< rescue_min_chars total
+    yield) plus several 0.40-confidence lines.  The first layout pass
+    yields almost nothing → the rescue tier (reference GRID_RESCUE)
+    promotes the 0.40 blocks; the 0.20 junk line stays below rescue_conf
+    and must NOT surface."""
+    width, height = 800.0, 1000.0
+    out_lines = ["%PDFBLOCKS 1", f"P 1 {width:g} {height:g}"]
+    lead = _sentence(rng, GENERAL_WORDS, 2, 3)   # ≤ ~37 chars
+    records = [
+        "B 50 20 750 40 0.95 native|CONFIDENTIAL - Page 1",
+        "B 50 955 750 975 0.9 native|Generated by scanner",
+        f"B 50 130 750 146 0.9 native|{lead}",
+        "B 50 900 750 916 0.20 easyocr|zz qq xx junk"]
+    expected: list[str] = [lead]
+    y = 190.0
+    for _ in range(rng.randint(2, 4)):
+        line_text = _sentence(rng, GENERAL_WORDS, 4, 8)
+        records.append(
+            f"B 50 {y:g} 750 {y + 16:g} 0.40 easyocr|{line_text}")
+        expected.append(line_text)
+        y += 40.0   # each rescued line its own paragraph
+    rng.shuffle(records)
+    out_lines.extend(records)
+    return "\n".join(out_lines), "\n".join(expected)
+
+
 def _make_degenerate(rng: random.Random) -> tuple[str, str]:
     choice = rng.randint(0, 3)
     if choice == 0:
@@ -226,11 +341,15 @@ def _make_degenerate(rng: random.Random) -> tuple[str, str]:
 
 
 _CLASS_BUILDERS = (
-    ("plain", _make_plain, 0.30),
-    ("html", _make_html, 0.22),
-    ("markdown", _make_markdown, 0.16),
-    ("ocr_noisy", _make_noisy, 0.14),
-    ("tool_pdf_payload", _make_pdf_payload, 0.12),
+    ("plain", _make_plain, 0.28),
+    ("html", _make_html, 0.20),
+    ("markdown", _make_markdown, 0.15),
+    ("ocr_noisy", _make_noisy, 0.13),
+    ("tool_pdf_payload", _make_pdf_payload, 0.10),
+    ("tool_pdf_twocol", _make_pdf_twocol, 0.03),
+    ("tool_pdf_bigfont", _make_pdf_bigfont, 0.025),
+    ("tool_pdf_handwriting", _make_pdf_handwriting, 0.025),
+    ("tool_pdf_sparse", _make_pdf_sparse, 0.02),
     ("degenerate", _make_degenerate, 0.06),
 )
 _CLASS_CUM = np.cumsum([w for _, _, w in _CLASS_BUILDERS])
@@ -248,7 +367,7 @@ def gen_conversation(conv_index: int, seed: int, n_turns: int
         cls_i = min(cls_i, len(_CLASS_BUILDERS) - 1)
         name, builder, _w = _CLASS_BUILDERS[cls_i]
         text, expected = builder(rng)
-        if name == "tool_pdf_payload":
+        if name.startswith("tool_pdf"):
             role, tool = "tool", "pdf_reader"
         else:
             role = ("user", "assistant")[t % 2]
@@ -328,7 +447,7 @@ TIERS = {
     "bench_xxl": (240_000, 5, 50, 0, 256),
 }
 
-GEN_VERSION = "v2"   # bump to invalidate /tmp caches on generator changes
+GEN_VERSION = "v3"   # bump to invalidate /tmp caches on generator changes
 
 
 def _write_shard(tier_spec: tuple, shard: int, seed: int, tdir: str,

@@ -195,3 +195,86 @@ class TestFingerprint:
         assert hamming64(simhash64(a), simhash64(b)) <= 8
         assert hamming64(simhash64(a), simhash64("completely different "
                                                  "content here")) > 16
+
+
+class TestAdaptiveLayout:
+    """L2/L3/L7 layout upgrades (reference 01b_normalize_layout.ipynb:~23
+    merge_rows / maybe_two_columns / detect_handwriting and
+    01_extract_blocks.ipynb:~88 GRID_RESCUE)."""
+
+    TWOCOL = "\n".join([
+        "%PDFBLOCKS 1", "P 1 800 1000",
+        "B 420 137 750 153 0.9 native|right one",
+        "B 50 130 380 146 0.9 native|left one",
+        "B 50 150 380 166 0.9 native|left two",
+        "B 420 157 750 173 0.9 native|right two",
+    ])
+
+    def test_two_column_reading_order(self):
+        text, spans, kept, dropped = extract_pdf_payload(self.TWOCOL)
+        assert text == "left one left two\nright one right two"
+
+    def test_split_rows_not_mistaken_for_columns(self):
+        # y-ALIGNED left/right fragments = split rows, read across
+        raw = "\n".join([
+            "%PDFBLOCKS 1", "P 1 800 1000",
+            "B 50 130 380 146 0.9 native|alpha",
+            "B 420 130 750 146 0.9 native|beta",
+            "B 50 150 380 166 0.9 native|gamma",
+            "B 420 150 750 166 0.9 native|delta",
+        ])
+        text, *_ = extract_pdf_payload(raw)
+        assert text == "alpha beta gamma delta"
+
+    def test_adaptive_tolerance_groups_large_font(self):
+        from medical_ocr_pipeline_ray.config import ExtractConfig
+        raw = "\n".join([
+            "%PDFBLOCKS 1", "P 1 800 1000",
+            "B 50 150 750 182 0.9 native|big line one",
+            "B 50 190 750 222 0.9 native|big line two",   # 40 px later
+            "B 50 270 750 302 0.9 native|second para",    # 80 px gap
+        ])
+        text, *_ = extract_pdf_payload(raw)
+        assert text == "big line one big line two\nsecond para"
+        # fixed 14/26 px tolerances would split the 40 px-spaced lines
+        fixed = ExtractConfig(adaptive_layout=False)
+        text_fixed, *_ = extract_pdf_payload(raw, fixed)
+        assert text_fixed == "big line one\nbig line two\nsecond para"
+
+    def test_handwriting_shrinks_bands(self):
+        raw = "\n".join([
+            "%PDFBLOCKS 1", "P 1 800 1000",
+            "B 50 70 750 86 0.9 native|near top content",
+            "B 50 150 750 162 0.9 native|short line",
+            "B 50 174 750 202 0.9 native|tall line",
+            "B 50 226 750 238 0.9 native|short again",
+            "B 50 250 750 278 0.9 native|tall again",
+        ])
+        text, spans, *_ = extract_pdf_payload(raw)
+        assert text.startswith("near top content")
+        # regular heights => default bands => y=70 is header-tagged
+        raw_reg = raw.replace("750 202", "750 190").replace(
+            "750 278", "750 266").replace("750 162", "750 166").replace(
+            "750 238", "750 242")
+        text_reg, spans_reg, *_ = extract_pdf_payload(raw_reg)
+        assert not text_reg.startswith("near top content")
+        assert any(s["kind"] == "header" for s in spans_reg)
+
+    def test_rescue_promotes_lowconf_on_sparse_page(self):
+        raw = "\n".join([
+            "%PDFBLOCKS 1", "P 1 800 1000",
+            "B 50 130 750 146 0.9 native|tiny yield",
+            "B 50 190 750 206 0.40 easyocr|rescued content line",
+            "B 50 900 750 916 0.20 easyocr|junk stays out",
+        ])
+        text, spans, kept, dropped = extract_pdf_payload(raw)
+        assert text == "tiny yield\nrescued content line"
+        assert any(s["kind"] == "rescued" for s in spans)
+        assert any(s["kind"] == "lowconf" for s in spans)   # the 0.20 junk
+        # a page with plenty of yield does NOT rescue
+        raw_rich = raw.replace(
+            "tiny yield",
+            "plenty of confident yield on this page so no rescue fires")
+        text_rich, spans_rich, *_ = extract_pdf_payload(raw_rich)
+        assert "rescued content line" not in text_rich
+        assert not any(s["kind"] == "rescued" for s in spans_rich)

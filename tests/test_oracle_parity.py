@@ -26,7 +26,9 @@ def test_oracle_matches_generator_expected_t2_sample():
         classes[r["_gen_class"]] += 1
     # all payload classes exercised
     assert set(classes) == {"plain", "html", "markdown", "ocr_noisy",
-                            "tool_pdf_payload", "degenerate"}
+                            "tool_pdf_payload", "tool_pdf_twocol",
+                            "tool_pdf_bigfont", "tool_pdf_handwriting",
+                            "tool_pdf_sparse", "degenerate"}
 
 
 def test_digit_preservation_invariant():
