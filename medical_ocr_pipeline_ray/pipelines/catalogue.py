@@ -19,7 +19,8 @@ from typing import Any
 from ..config import DEFAULT_PIPELINE
 from ..sources.transcripts import read_transcripts
 from ..synth import tier_for_sf_dir
-from . import dedup, multimodal, qa, relational, segments, similarity, textops
+from . import (dedup, documents, multimodal, qa, relational, segments,
+               similarity, textops)
 from .extract_pipeline import build_turns_pipeline
 from ..stages.assemble import assemble_conversations
 
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_boilerplate_turns": qa.topk_boilerplate_turns,
         # segment assembly (SURVEY L5)
         "segment_turns": segments.segment_turns,
+        # schema-document assembly (reference stages 04/05 merge_dict fold;
+        # nested struct / list-of-struct output)
+        "assemble_documents": documents.assemble_documents,
         # text analysis (training-data ops)
         "doc_stats": textops.doc_stats,
         "doc_lang_id": textops.doc_lang_id,

@@ -329,6 +329,40 @@ def _make_pdf_sparse(rng: random.Random) -> tuple[str, str]:
     return "\n".join(out_lines), "\n".join(expected)
 
 
+_FORM_FIRST = ("Ana", "Ben", "Carla", "David", "Elena", "Farid", "Grace")
+_FORM_LAST = ("Moreno", "Okafor", "Petrov", "Quinn", "Rossi", "Sato")
+_FORM_DRUGS = ("amoxicillin", "ibuprofen", "metformin", "lisinopril",
+               "omeprazole", "atorvastatin")
+_FORM_FREQ = ("once daily", "twice daily", "every morning", "at bedtime")
+_FORM_TESTS = ("blood count", "lipid panel", "chest imaging",
+               "glucose test", "thyroid panel")
+
+
+def _make_form(rng: random.Random) -> tuple[str, str]:
+    """Structured ``Key: value`` form turn (classifies as plain; identity
+    extraction).  Feeds the schema-document assembly: several form turns
+    per conversation exercise the merge_dict fold (fill-empty-first-wins,
+    list union) across turns."""
+    lines: list[str] = []
+    if rng.random() < 0.7:
+        lines.append(f"Patient: {rng.choice(_FORM_FIRST)} "
+                     f"{rng.choice(_FORM_LAST)}")
+    if rng.random() < 0.5:
+        lines.append(f"Age: {rng.randint(20, 90)}")
+    if rng.random() < 0.6:
+        lines.append(f"Doctor: Dr {rng.choice(_FORM_LAST)}")
+    for _ in range(rng.randint(0, 2)):
+        lines.append(f"Medication: {rng.choice(_FORM_DRUGS)} "
+                     f"{rng.randint(1, 50) * 10} mg {rng.choice(_FORM_FREQ)}")
+    for _ in range(rng.randint(0, 2)):
+        lines.append(f"Test: {rng.choice(_FORM_TESTS)}")
+    if not lines:
+        lines.append(f"Patient: {rng.choice(_FORM_FIRST)} "
+                     f"{rng.choice(_FORM_LAST)}")
+    text = "\n".join(lines)
+    return text, text
+
+
 def _make_degenerate(rng: random.Random) -> tuple[str, str]:
     choice = rng.randint(0, 3)
     if choice == 0:
@@ -350,6 +384,7 @@ _CLASS_BUILDERS = (
     ("tool_pdf_bigfont", _make_pdf_bigfont, 0.025),
     ("tool_pdf_handwriting", _make_pdf_handwriting, 0.025),
     ("tool_pdf_sparse", _make_pdf_sparse, 0.02),
+    ("form", _make_form, 0.06),
     ("degenerate", _make_degenerate, 0.06),
 )
 _CLASS_CUM = np.cumsum([w for _, _, w in _CLASS_BUILDERS])
@@ -447,7 +482,7 @@ TIERS = {
     "bench_xxl": (240_000, 5, 50, 0, 256),
 }
 
-GEN_VERSION = "v3"   # bump to invalidate /tmp caches on generator changes
+GEN_VERSION = "v4"   # bump to invalidate /tmp caches on generator changes
 
 
 def _write_shard(tier_spec: tuple, shard: int, seed: int, tdir: str,

@@ -77,7 +77,8 @@ def test_query_matches_duckdb(ray_session, con, name):
 def test_all_queries_have_oracle_or_are_listed(ray_session):
     """Every query is either SQL-oracled or a documented non-SQL op."""
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
-    non_sql = {"extract_turns", "assemble_conversations", "dedup_minhash_lsh",
+    non_sql = {"extract_turns", "assemble_conversations",
+               "assemble_documents", "dedup_minhash_lsh",
                "dedup_simhash", "dedup_ngram_jaccard", "knn_lsh",
                "embedding_near_dup", "multimodal_features", "sample_events",
                "qa_turn_metrics", "qa_content_accounting",
