@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_content_accounting": qa.qa_content_accounting,
         "qa_against_expected": qa.qa_against_expected,
         "topk_boilerplate_turns": qa.topk_boilerplate_turns,
+        # per-engine comparison (G5), composite score + drop gate (G8/G10),
+        # best-variant arbitration (O5)
+        "engine_block_stats": qa.engine_block_stats,
+        "qa_quality_gate": qa.qa_quality_gate,
+        "best_variant_extraction": qa.best_variant_extraction,
         # segment assembly (SURVEY L5)
         "segment_turns": segments.segment_turns,
         # schema-document assembly (reference stages 04/05 merge_dict fold;

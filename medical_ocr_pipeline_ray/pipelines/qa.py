@@ -222,3 +222,193 @@ def qa_against_expected(sf_dir: str):
         Max("max_cer", alias_name="max_cer"),
         Sum("sum_wer", alias_name="sum_wer"))
     return pd.DataFrame([totals])
+
+
+def engine_block_stats(sf_dir: str):
+    """Per-engine block comparison (reference G5: groupby(engine) over
+    mean/std chars, block counts, confidence —
+    notebooks/01_qa_pipeline_evaluation.ipynb:~393).  Parses every tool
+    turn's payload and aggregates per block ``source`` tag with exact
+    integer partials (count, sum, sum-of-squares, conf micros) so the
+    result is bit-deterministic; the shuffle moves one row per engine per
+    batch."""
+    from ..functions.pdfblocks import is_pdf_payload, parse_payload
+
+    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        agg: dict[str, list[int]] = {}
+        for text, tool in zip(df["text"], df["tool"]):
+            if not tool or not isinstance(text, str) or \
+                    not is_pdf_payload(text):
+                continue
+            kept, low, _pages = parse_payload(text, min_conf=0.0)
+            for b in kept + low:
+                a = agg.setdefault(b.source, [0, 0, 0, 0])
+                n = len(b.text)
+                a[0] += 1
+                a[1] += n
+                a[2] += n * n
+                a[3] += int(round(b.conf * 1_000_000))
+        if not agg:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=str),
+                "n_blocks": pd.Series([], dtype=np.int64),
+                "chars_sum": pd.Series([], dtype=np.int64),
+                "chars_sumsq": pd.Series([], dtype=np.int64),
+                "conf_u": pd.Series([], dtype=np.int64)})
+        rows = sorted(agg.items())
+        return pd.DataFrame({
+            "source": [s for s, _ in rows],
+            "n_blocks": np.array([a[0] for _, a in rows], dtype=np.int64),
+            "chars_sum": np.array([a[1] for _, a in rows], dtype=np.int64),
+            "chars_sumsq": np.array([a[2] for _, a in rows], dtype=np.int64),
+            "conf_u": np.array([a[3] for _, a in rows], dtype=np.int64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("source").aggregate(
+        Sum("n_blocks", alias_name="n_blocks"),
+        Sum("chars_sum", alias_name="chars_sum"),
+        Sum("chars_sumsq", alias_name="chars_sumsq"),
+        Sum("conf_u", alias_name="conf_u"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_blocks"].to_numpy().astype(np.float64)
+        mean = df["chars_sum"] / n
+        var = df["chars_sumsq"] / n - mean ** 2
+        return pd.DataFrame({
+            "source": df["source"],
+            "n_blocks": df["n_blocks"],
+            "mean_chars": mean,
+            "std_chars": np.sqrt(np.maximum(var, 0.0)),
+            "mean_conf": df["conf_u"] / n / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+_SANCTIONED_KINDS = {"boilerplate", "header", "footer", "dup", "lowconf"}
+
+
+def qa_quality_gate(sf_dir: str, max_content_drop: float = 0.15):
+    """Composite quality score + content-drop gate per payload class
+    (reference G8/G10: 0.4·conf + 0.3·order + 0.3·preservation and the
+    ``max_content_drop=0.15`` problem-page gate,
+    notebooks/qa_pipeline_evaluator.py:717-768).
+
+    Measurable analogues over the turns schema (weights preserved):
+    - conf health   (0.4): 1 − lowconf-span char fraction,
+    - cleanliness   (0.3): 1 − duplicate-block char fraction,
+    - preservation  (0.3): 1 − UNSANCTIONED drop ratio, where sanctioned
+      drops are span-tagged (boilerplate/header/footer/dup/lowconf) and
+      unsanctioned = discovered content chars − sanctioned − extracted.
+    A problem turn has unsanctioned drop ratio > max_content_drop — the
+    engine's invariant is that this is ~always 0 (content is tagged,
+    never silently lost)."""
+    turns = _turns_for(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list[int]] = {}
+        for cls, spans, chars in zip(df["payload_class"], df["spans"],
+                                     df["content_chars"]):
+            a = rows.setdefault(cls, [0, 0, 0, 0, 0, 0, 0])
+            discovered = sanctioned = low = dup = 0
+            for s in ([] if spans is None else spans):
+                ln = int(s["end"]) - int(s["start"])
+                discovered += ln
+                if s["kind"] in _SANCTIONED_KINDS:
+                    sanctioned += ln
+                if s["kind"] == "lowconf":
+                    low += ln
+                if s["kind"] == "dup":
+                    dup += ln
+            unsanc = max(0, discovered - sanctioned - int(chars))
+            a[0] += 1
+            a[1] += discovered
+            a[2] += sanctioned
+            a[3] += low
+            a[4] += dup
+            a[5] += unsanc
+            if discovered > 0 and unsanc / discovered > max_content_drop:
+                a[6] += 1
+        out = sorted(rows.items())
+        return pd.DataFrame({
+            "payload_class": [c for c, _ in out],
+            "n_turns": np.array([a[0] for _, a in out], dtype=np.int64),
+            "discovered": np.array([a[1] for _, a in out], dtype=np.int64),
+            "sanctioned": np.array([a[2] for _, a in out], dtype=np.int64),
+            "lowconf_chars": np.array([a[3] for _, a in out],
+                                      dtype=np.int64),
+            "dup_chars": np.array([a[4] for _, a in out], dtype=np.int64),
+            "unsanctioned": np.array([a[5] for _, a in out],
+                                     dtype=np.int64),
+            "n_problem": np.array([a[6] for _, a in out], dtype=np.int64)})
+
+    partials = turns.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("payload_class").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("discovered", alias_name="discovered"),
+        Sum("sanctioned", alias_name="sanctioned"),
+        Sum("lowconf_chars", alias_name="lowconf_chars"),
+        Sum("dup_chars", alias_name="dup_chars"),
+        Sum("unsanctioned", alias_name="unsanctioned"),
+        Sum("n_problem", alias_name="n_problem"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        disc = np.maximum(df["discovered"].to_numpy().astype(np.float64), 1.0)
+        conf_health = 1.0 - df["lowconf_chars"] / disc
+        cleanliness = 1.0 - df["dup_chars"] / disc
+        preservation = 1.0 - df["unsanctioned"] / disc
+        return pd.DataFrame({
+            "payload_class": df["payload_class"],
+            "n_turns": df["n_turns"],
+            "n_problem": df["n_problem"],
+            "conf_health": conf_health,
+            "cleanliness": cleanliness,
+            "preservation": preservation,
+            "composite_score": (0.4 * conf_health + 0.3 * cleanliness
+                                + 0.3 * preservation)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def best_variant_extraction(sf_dir: str):
+    """Per-row argmax across extraction strategies (reference O5
+    ``select_best_ocr_result`` by block count,
+    prefect_pipeline.py:113-127): every tool-payload turn is extracted
+    under the default (strict) and a lenient (min_conf 0.30, fixed
+    tolerances) configuration inside ONE batch pass; the winner is chosen
+    deterministically by (blocks_kept, content_chars, variant name)."""
+    from ..config import DEFAULT_EXTRACT, ExtractConfig
+    from ..functions.pdfblocks import extract_pdf_payload, is_pdf_payload
+
+    lenient = ExtractConfig(min_conf=0.30, adaptive_layout=False)
+    variants = (("strict", DEFAULT_EXTRACT), ("lenient", lenient))
+
+    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+
+    def choose(df: pd.DataFrame) -> pd.DataFrame:
+        convs, turns, names, kept_l, chars_l = [], [], [], [], []
+        for conv, tix, text, tool in zip(df["conv_id"], df["turn_idx"],
+                                         df["text"], df["tool"]):
+            if not tool or not isinstance(text, str) or \
+                    not is_pdf_payload(text):
+                continue
+            best = None
+            for name, cfg in variants:
+                out, _spans, kept, _dropped = extract_pdf_payload(text, cfg)
+                cand = (kept, len(out), name)
+                if best is None or cand > best:
+                    best = cand
+            convs.append(conv)
+            turns.append(int(tix))
+            names.append(best[2])
+            kept_l.append(best[0])
+            chars_l.append(best[1])
+        return pd.DataFrame({
+            "conv_id": convs,
+            "turn_idx": np.array(turns, dtype=np.int32),
+            "variant": names,
+            "blocks_kept": np.array(kept_l, dtype=np.int32),
+            "content_chars": np.array(chars_l, dtype=np.int32)})
+
+    return ds.map_batches(choose, batch_format="pandas")

@@ -112,3 +112,79 @@ def test_sample_events_seeded(ray_session):
     from medical_ocr_pipeline_ray.pipelines.catalogue import sample_events
     n1 = sample_events(SF_DIR).count()
     assert 0 < n1 < 1000    # ~10% of 1000 events
+
+
+def test_engine_block_stats_match_pure_python(ray_session):
+    """G5 parity: the Ray per-engine aggregate equals a sequential
+    recomputation over the raw generated payloads."""
+    from medical_ocr_pipeline_ray.functions.pdfblocks import (is_pdf_payload,
+                                                              parse_payload)
+    from medical_ocr_pipeline_ray.pipelines.qa import engine_block_stats
+    from medical_ocr_pipeline_ray.synth import TIERS, gen_transcripts
+
+    n_convs, lo, hi, skew, _ = TIERS["t1"]
+    rows = gen_transcripts(n_convs, seed=42, min_turns=lo, max_turns=hi,
+                           skew_conv_rows=skew)
+    agg: dict[str, list] = {}
+    for r in rows:
+        if not r["tool"] or not is_pdf_payload(r["text"]):
+            continue
+        kept, low, _ = parse_payload(r["text"], min_conf=0.0)
+        for b in kept + low:
+            a = agg.setdefault(b.source, [0, 0, 0.0])
+            a[0] += 1
+            a[1] += len(b.text)
+            a[2] += b.conf
+    got = engine_block_stats("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    assert set(got["source"]) == set(agg)
+    for _, row in got.iterrows():
+        n, chars, conf = agg[row["source"]]
+        assert int(row["n_blocks"]) == n
+        assert abs(row["mean_chars"] - chars / n) < 1e-9
+        assert abs(row["mean_conf"] - conf / n) < 1e-6
+    assert {"native", "easyocr"} <= set(got["source"])
+
+
+def test_quality_gate_no_silent_drops(ray_session):
+    """G10 invariant as a query: unsanctioned content drop is ~zero for
+    every payload class (everything removed is span-tagged), so no class
+    has problem turns and composite scores are high."""
+    from medical_ocr_pipeline_ray.pipelines.qa import qa_quality_gate
+    df = qa_quality_gate("/root/testdata/sf0.001").to_pandas()
+    assert len(df) >= 5
+    assert int(df["n_problem"].sum()) == 0
+    assert (df["preservation"] > 0.95).all()
+    assert (df["composite_score"] > 0.8).all()
+    assert ((df["composite_score"] <= 1.0) &
+            (df["composite_score"] >= 0.0)).all()
+
+
+def test_best_variant_argmax(ray_session):
+    """O5: the chosen variant per tool turn really is the deterministic
+    argmax over (blocks_kept, content_chars, name)."""
+    from medical_ocr_pipeline_ray.config import DEFAULT_EXTRACT, ExtractConfig
+    from medical_ocr_pipeline_ray.functions.pdfblocks import (
+        extract_pdf_payload, is_pdf_payload)
+    from medical_ocr_pipeline_ray.pipelines.qa import best_variant_extraction
+    from medical_ocr_pipeline_ray.synth import TIERS, gen_transcripts
+
+    got = best_variant_extraction("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert set(got["variant"]) <= {"strict", "lenient"}
+    n_convs, lo, hi, skew, _ = TIERS["t1"]
+    rows = {(r["conv_id"], r["turn_idx"]): r
+            for r in gen_transcripts(n_convs, seed=42, min_turns=lo,
+                                     max_turns=hi, skew_conv_rows=skew)}
+    lenient = ExtractConfig(min_conf=0.30, adaptive_layout=False)
+    sample = got.sort_values(["conv_id", "turn_idx"]).head(40)
+    for _, row in sample.iterrows():
+        r = rows[(row["conv_id"], row["turn_idx"])]
+        assert r["tool"] and is_pdf_payload(r["text"])
+        best = max(
+            (extract_pdf_payload(r["text"], cfg)[2],
+             len(extract_pdf_payload(r["text"], cfg)[0]), name)
+            for name, cfg in (("strict", DEFAULT_EXTRACT),
+                              ("lenient", lenient)))
+        assert row["variant"] == best[2]
+        assert int(row["blocks_kept"]) == best[0]

@@ -83,7 +83,8 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
                "embedding_near_dup", "multimodal_features", "sample_events",
                "qa_turn_metrics", "qa_content_accounting",
                "qa_against_expected", "segment_turns",
-               "topk_boilerplate_turns"}
+               "topk_boilerplate_turns", "engine_block_stats",
+               "qa_quality_gate", "best_variant_extraction"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
 
