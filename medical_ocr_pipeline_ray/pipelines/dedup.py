@@ -106,41 +106,76 @@ FROM documents GROUP BY md5(text)
 # candidate-pair frameworks (shared plumbing)
 # ---------------------------------------------------------------------------
 
+_PAIR_BUCKETS = 64
+
+
 def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET):
-    """bucket rows (key, doc_id) → unique candidate pairs (doc_a < doc_b).
+    """bucket rows (key, doc_id) → candidate pairs (doc_a < doc_b).
+
+    The shuffle key is a COARSE hash of the bucket key (Ray pays ~1 ms of
+    framework overhead per group — a groupby over 10^5+ fine band keys is
+    the dominant cost otherwise); the fine per-bucket pairing runs as a
+    vectorized pandas groupby inside each coarse group.
 
     Hot buckets (> max_bucket distinct docs) emit STAR pairs against the
     min-id representative instead of the full quadratic set — linear cost,
     cluster connectivity preserved, no silent candidate loss (round-1
     VERDICT: the old path skipped hot buckets entirely)."""
+    import zlib
+
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col]
+        if key.dtype == object:
+            cb = np.fromiter(
+                (zlib.crc32(str(k).encode()) % _PAIR_BUCKETS for k in key),
+                dtype=np.int64, count=len(df))
+        else:
+            cb = key.to_numpy().astype(np.int64) % _PAIR_BUCKETS
+        return df.assign(coarse=cb.astype(np.int32))
+
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.array(sorted(set(int(x) for x in g["doc_id"])),
-                       dtype=np.int64)
-        if len(ids) < 2:
+        outs_a, outs_b = [], []
+        for _key, sub in g.groupby(key_col, sort=True):
+            ids = np.unique(sub["doc_id"].to_numpy().astype(np.int64))
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                outs_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
+                outs_b.append(ids[1:])
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                outs_a.append(ids[ia])
+                outs_b.append(ids[ib])
+        if not outs_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64)})
-        if len(ids) > max_bucket:
-            return pd.DataFrame({
-                "doc_a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
-                "doc_b": ids[1:]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                             "doc_b": np.concatenate(outs_b)})
 
     # NOTE: a pair can surface from several buckets.  Deduping 10^5+
     # candidate keys through a groupby costs far more than verifying the
     # duplicates (measured 45 s vs 2 s at sf0.01), so candidates flow to
     # the verifier as-is and the (tiny, deterministic) VERIFIED result is
     # deduped instead — see _dedupe_pairs.
-    return keyed.groupby(key_col).map_groups(emit_pairs,
-                                             batch_format="pandas")
+    return keyed.map_batches(coarse, batch_format="pandas") \
+        .groupby("coarse").map_groups(emit_pairs, batch_format="pandas")
 
 
 def _dedupe_pairs(verified):
     """Drop duplicate verified pairs (same pair found via several buckets).
-    The verified set is orders of magnitude smaller than the candidate
-    set, so this groupby is trivial."""
-    return verified.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    Coarse-bucketed (never one Ray group per pair): drop_duplicates runs
+    vectorized inside each of the ≤64 coarse groups."""
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        cb = ((df["doc_a"].to_numpy().astype(np.int64) * 1_000_003
+               + df["doc_b"].to_numpy().astype(np.int64)) % _PAIR_BUCKETS)
+        return df.assign(coarse=cb.astype(np.int32))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_a", "doc_b"], kind="mergesort")
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["coarse"])
+
+    return verified.map_batches(key, batch_format="pandas") \
+        .groupby("coarse").map_groups(uniq, batch_format="pandas")
 
 
 def _attach_text(cands, corpus, which: str,
@@ -200,14 +235,41 @@ def _attach_text(cands, corpus, which: str,
                                              batch_format="pandas")
 
 
+_SHINGLE_CACHE: dict[tuple[int, str], frozenset] = {}
+_SIMHASH_CACHE: dict[str, int] = {}
+_VERIFY_CACHE_CAP = 200_000
+
+
+def _cached_shingles(text: str, k: int) -> frozenset:
+    key = (k, text)
+    s = _SHINGLE_CACHE.get(key)
+    if s is None:
+        s = frozenset(shingles(text, k))
+        if len(_SHINGLE_CACHE) < _VERIFY_CACHE_CAP:
+            _SHINGLE_CACHE[key] = s
+    return s
+
+
+def _cached_simhash(text: str) -> int:
+    h = _SIMHASH_CACHE.get(text)
+    if h is None:
+        h = simhash64(text)
+        if len(_SIMHASH_CACHE) < _VERIFY_CACHE_CAP:
+            _SIMHASH_CACHE[text] = h
+    return h
+
+
 def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
                   threshold: float) -> pd.DataFrame:
-    """Stateless exact verification on (text_a, text_b) rows."""
+    """Stateless exact verification on (text_a, text_b) rows.  Sketches
+    are memoized per worker PROCESS (a doc appears in many candidate
+    pairs; Ray worker processes persist across tasks, so the cache gives
+    actor-style amortization without an actor pool)."""
     out_a, out_b, out_s = [], [], []
     for a, b, ta, tb in zip(df["doc_a"], df["doc_b"],
                             df["text_a"], df["text_b"]):
         if mode == "jaccard":
-            sa, sb = shingles(ta, k), shingles(tb, k)
+            sa, sb = _cached_shingles(ta, k), _cached_shingles(tb, k)
             if not sa and not sb:
                 s = 1.0
             elif not sa or not sb:
@@ -216,7 +278,7 @@ def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
                 s = len(sa & sb) / len(sa | sb)
             ok = s >= threshold
         else:  # hamming on simhash
-            s = float(hamming64(simhash64(ta), simhash64(tb)))
+            s = float(hamming64(_cached_simhash(ta), _cached_simhash(tb)))
             ok = s <= threshold
         if ok:
             out_a.append(int(a))

@@ -193,6 +193,17 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.99,
 
     pairs = keyed.groupby("bucket").map_groups(pairs_in_bucket,
                                                batch_format="pandas")
-    # a pair may appear once per shared bucket → unique
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    # a pair may appear once per shared bucket → unique, deduped through
+    # 64 coarse hash groups (never one Ray group per pair — ~1 ms/group)
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        cb = ((df["vec_a"].to_numpy().astype(np.int64) * 1_000_003
+               + df["vec_b"].to_numpy().astype(np.int64)) % 64)
+        return df.assign(coarse=cb.astype(np.int32))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_a", "vec_b"], kind="mergesort")
+        return g.drop_duplicates(["vec_a", "vec_b"]).drop(columns=["coarse"])
+
+    return pairs.map_batches(key, batch_format="pandas") \
+        .groupby("coarse").map_groups(uniq, batch_format="pandas")
