@@ -219,6 +219,29 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """uint64[n_docs] SimHash values, bit-identical to ``simhash64``, in
+    one vectorized pass: per-word u64s (process-cached) for the whole
+    batch, bit matrix via shifts, per-doc ±1 sums via np.add.reduceat."""
+    arrs = [_word_hashes(words(t if t is not None else "")) for t in texts]
+    sizes = np.array([a.size for a in arrs], dtype=np.int64)
+    out = np.zeros(len(arrs), dtype=np.uint64)
+    nonempty = np.flatnonzero(sizes > 0)
+    if nonempty.size == 0:
+        return out
+    x = np.concatenate([arrs[i] for i in nonempty])
+    shifts = (63 - np.arange(64)).astype(np.uint64)
+    signs = (((x[:, None] >> shifts) & np.uint64(1))
+             .astype(np.int64) * 2 - 1)            # (total_words, 64)
+    starts = np.concatenate(
+        ([0], np.cumsum(sizes[nonempty])[:-1])).astype(np.int64)
+    sums = np.add.reduceat(signs, starts, axis=0)  # (n_nonempty, 64)
+    bits = (sums > 0).astype(np.uint64)
+    weights = np.uint64(1) << shifts               # bit i ↔ value 2^(63-i)
+    out[nonempty] = bits @ weights
+    return out
+
+
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 

@@ -161,23 +161,6 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET):
         .groupby("coarse").map_groups(emit_pairs, batch_format="pandas")
 
 
-def _dedupe_pairs(verified):
-    """Drop duplicate verified pairs (same pair found via several buckets).
-    Coarse-bucketed (never one Ray group per pair): drop_duplicates runs
-    vectorized inside each of the ≤64 coarse groups."""
-    def key(df: pd.DataFrame) -> pd.DataFrame:
-        cb = ((df["doc_a"].to_numpy().astype(np.int64) * 1_000_003
-               + df["doc_b"].to_numpy().astype(np.int64)) % _PAIR_BUCKETS)
-        return df.assign(coarse=cb.astype(np.int32))
-
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_a", "doc_b"], kind="mergesort")
-        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["coarse"])
-
-    return verified.map_batches(key, batch_format="pandas") \
-        .groupby("coarse").map_groups(uniq, batch_format="pandas")
-
-
 def _attach_text(cands, corpus, which: str,
                  n_buckets: int = _VERIFY_BUCKETS):
     """Partitioned hash join: attach the corpus text for ONE side of each
@@ -190,6 +173,10 @@ def _attach_text(cands, corpus, which: str,
     id_col = "doc_a" if which == "a" else "doc_b"
     out_col = f"text_{which}"
     carry = "text_a" if which == "b" else None
+    # every copy of a candidate pair shares doc_a, so the FIRST attach
+    # stage sees all copies in one bucket — global pair dedup happens here
+    # for free instead of in a separate shuffle round
+    dedupe_pairs = which == "a"
 
     def key_cand(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -221,6 +208,9 @@ def _attach_text(cands, corpus, which: str,
         corp = g[g["side"] == 1]
         lookup = dict(zip(corp["jkey"], corp["jtext"]))
         c = g[g["side"] == 0]
+        if dedupe_pairs and len(c):
+            c = c.sort_values(["doc_a", "doc_b"], kind="mergesort") \
+                .drop_duplicates(["doc_a", "doc_b"])
         attached = c["jkey"].map(lookup)
         keep = attached.notna()
         c = c[keep]
@@ -292,13 +282,14 @@ def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
 
 def _verify(cands, sf_dir: str, mode: str, k: int, threshold: float):
     """Candidate pairs → verified pairs via the two-stage partitioned
-    text join + stateless exact check + verified-pair dedup."""
+    text join + stateless exact check.  Pair dedup rides the first join
+    (all copies of a pair share doc_a → same bucket), so no extra
+    shuffle round."""
     with_a = _attach_text(cands, augmented_docs(sf_dir), "a")
     with_ab = _attach_text(with_a, augmented_docs(sf_dir), "b")
-    verified = with_ab.map_batches(
+    return with_ab.map_batches(
         _verify_pairs, batch_format="pandas",
         fn_kwargs={"mode": mode, "k": k, "threshold": threshold})
-    return _dedupe_pairs(verified)
 
 
 # ---------------------------------------------------------------------------
@@ -328,16 +319,17 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 6):
     aug = augmented_docs(sf_dir)
 
     def chunks(df: pd.DataFrame) -> pd.DataFrame:
-        ids, keys = [], []
-        for did, t in zip(df["doc_id"], df["text"]):
-            h = simhash64(t)
-            for c in range(4):
-                ids.append(int(did))
-                keys.append(f"{c}:{(h >> (16 * c)) & 0xFFFF:04x}")
-        return pd.DataFrame({"chunk_key": keys,
-                             "doc_id": np.array(ids, dtype=np.int64)})
+        from ..functions.fingerprint import simhash64_batch
+        hs = simhash64_batch(list(df["text"]))          # vectorized batch
+        ids = np.repeat(df["doc_id"].to_numpy().astype(np.int64), 4)
+        # numeric chunk keys: chunk index in the low 2 bits
+        parts = np.stack([((hs >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+                          .astype(np.int64) * 4 + c for c in range(4)],
+                         axis=1)
+        return pd.DataFrame({"chunk_key": parts.reshape(-1),
+                             "doc_id": ids})
 
-    keyed = aug.map_batches(chunks, batch_format="pandas")
+    keyed = aug.map_batches(chunks, batch_format="pandas", batch_size=512)
     cands = _pairs_from_buckets(keyed, "chunk_key")
     return _verify(cands, sf_dir, "hamming", 1, float(max_hamming))
 

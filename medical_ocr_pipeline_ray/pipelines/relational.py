@@ -437,7 +437,10 @@ def label_counts(sf_dir: str):
     return agg
 
 
-LABEL_COUNTS_SQL = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+LABEL_COUNTS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+FROM embeddings GROUP BY label
+"""
 
 
 # ---------------------------------------------------------------------------
