@@ -42,13 +42,20 @@ BENCH_QUERIES = (
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_brute_force",
     "multimodal_features",
     "events_json_props",
     "doc_top_tokens",
     "q3_segment_revenue",
     "join_lineitem_orders_priority",
+    "semi_join_customers_with_orders",
+    "topk_orders",
 )
+# NOTE: the turns-derived queries (assemble_documents, qa_*,
+# engine_block_stats) re-run the full extraction pipeline per query and
+# are benchmarked implicitly via the headline; keeping them out of the
+# per-query list keeps bench wall time dominated by distinct operators.
 
 
 def _consume(res) -> int:

@@ -138,3 +138,36 @@ def test_multimodal_plumbing(ray_session):
     with pytest.raises(NotImplementedError):
         dec(pa.table({"doc_id": pa.array([1], pa.int64()),
                       "payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_hot_bucket_star_pairing_no_silent_loss(ray_session):
+    """A duplicate cluster LARGER than MAX_BUCKET (identical signatures →
+    one hot LSH bucket) must not be silently dropped: every member is
+    linked to the cluster representative (star pairing), so the cluster
+    is recoverable by union-find."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from medical_ocr_pipeline_ray.pipelines import dedup as dd
+
+    n = dd.MAX_BUCKET + 36   # hot: 100 identical docs
+    text = "identical duplicate document body with enough words to shingle"
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": [text] * n})
+
+    from medical_ocr_pipeline_ray.functions.fingerprint import (
+        lsh_band_keys_batch, minhash_signatures_batch)
+
+    def bands(df):
+        sigs = minhash_signatures_batch(list(df["text"]), 3)
+        keys = lsh_band_keys_batch(sigs)
+        nb = keys.shape[1]
+        return pd.DataFrame({
+            "band_key": keys.reshape(-1),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), nb)})
+
+    keyed = rd.from_pandas(docs).map_batches(bands, batch_format="pandas")
+    pairs = dd._pairs_from_buckets(keyed, "band_key").to_pandas()
+    got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    # star pairs: every non-representative doc linked to doc 0
+    assert {(0, b) for b in range(1, n)} <= got
