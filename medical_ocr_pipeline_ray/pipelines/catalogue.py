@@ -108,8 +108,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
         "embedding_near_dup": similarity.embedding_near_dup,
-        # multimodal plumbing
+        # multimodal plumbing (decode/feature/resize/frame-sample stages;
+        # pixel kernels stubbed, Ray plumbing real)
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_resize": multimodal.multimodal_resize,
+        "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     }
 
 

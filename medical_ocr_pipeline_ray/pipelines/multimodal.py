@@ -102,3 +102,80 @@ def multimodal_features(sf_dir: str):
     return media.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=64,
         concurrency=(1, 4), fn_constructor_kwargs={"decode": False})
+
+
+class MediaResizer:
+    """Actor-pool resize stage.  The GEOMETRY is real — clamp the long
+    side to ``max_side`` preserving aspect ratio (the reference's
+    ``clamp_long_side``, notebooks/01_extract_blocks.ipynb:~88, fast=1800
+    / heavy=3000) — while the pixel resample itself is the stubbed kernel
+    (``resample=True`` raises; PIL is absent in this environment)."""
+
+    def __init__(self, max_side: int = 1800, resample: bool = False):
+        self.max_side = max_side
+        self.resample = resample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.resample:
+            raise NotImplementedError(
+                "pixel resampling requires PIL — plug the kernel here")
+        w = np.asarray(batch["width"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        h = np.asarray(batch["height"].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        long_side = np.maximum(w, h)
+        scale = np.minimum(1.0, self.max_side / np.maximum(long_side, 1.0))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "out_w": pa.array(np.rint(w * scale).astype(np.int32)),
+            "out_h": pa.array(np.rint(h * scale).astype(np.int32)),
+            "scale": pa.array(np.round(scale, 6)),
+        })
+
+
+def multimodal_resize(sf_dir: str, max_side: int = 96):
+    """Resize-geometry pass over the media corpus (aspect-preserving
+    long-side clamp; max_side=96 so the synth 64-288 px sizes exercise
+    both the clamp and the no-op path)."""
+    media = synth_media(sf_dir)
+    return media.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), fn_constructor_kwargs={"max_side": max_side})
+
+
+def multimodal_frame_sample(sf_dir: str, frame_bytes: int = 4096,
+                            every: int = 4):
+    """Frame sampling over 'video' payloads: each binary payload is split
+    into fixed-stride frames and every ``every``-th frame (plus the last)
+    is emitted as its own row with a content hash — the row-expansion
+    (flat-map) pattern for binary columns, batches kept small so
+    (rows × frame size × concurrency) fits a worker heap.  A real build
+    replaces the stride split with a container demuxer (pyav); the
+    sampling policy, offsets and output layout are the real plumbing."""
+    media = synth_media(sf_dir)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids_out, fidx, offs, frames, hashes = [], [], [], [], []
+        for did, buf in zip(batch["doc_id"].to_pylist(), batch["payload"]):
+            b = buf.as_py()
+            n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+            picks = sorted(set(range(0, n_frames, every)) | {n_frames - 1})
+            for i in picks:
+                frame = b[i * frame_bytes:(i + 1) * frame_bytes]
+                ids_out.append(did)
+                fidx.append(i)
+                offs.append(i * frame_bytes)
+                frames.append(frame)
+                hashes.append(hashlib.blake2b(frame,
+                                              digest_size=8).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "byte_offset": pa.array(offs, pa.int64()),
+            "frame": pa.array(frames, pa.binary()),
+            "frame_hash": pa.array(hashes, pa.string()),
+        })
+
+    return media.map_batches(sample, batch_format="pyarrow", batch_size=32)

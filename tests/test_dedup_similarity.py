@@ -171,3 +171,47 @@ def test_hot_bucket_star_pairing_no_silent_loss(ray_session):
     got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
     # star pairs: every non-representative doc linked to doc 0
     assert {(0, b) for b in range(1, n)} <= got
+
+
+def test_multimodal_resize_geometry(ray_session):
+    import numpy as np
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        MediaResizer, multimodal_resize)
+    df = multimodal_resize(SF_DIR).to_pandas()
+    assert len(df) == 500
+    long_in = np.maximum(df["width"], df["height"])
+    long_out = np.maximum(df["out_w"], df["out_h"])
+    assert (long_out <= 96).all()                       # clamped
+    small = long_in <= 96
+    assert (df.loc[small, "out_w"] == df.loc[small, "width"]).all()  # no-op
+    # aspect preserved within rounding
+    ar_in = df["width"] / df["height"]
+    ar_out = df["out_w"] / df["out_h"]
+    assert (abs(ar_in - ar_out) / ar_in < 0.05).all()
+    # the stubbed pixel kernel is clearly gated
+    import pyarrow as pa
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        MediaResizer(resample=True)(pa.table(
+            {"doc_id": pa.array([1], pa.int64()),
+             "width": pa.array([10], pa.int32()),
+             "height": pa.array([10], pa.int32())}))
+
+
+def test_multimodal_frame_sample(ray_session):
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        multimodal_frame_sample, synth_media)
+    frames = multimodal_frame_sample(SF_DIR).to_pandas()
+    media = synth_media(SF_DIR).to_pandas()
+    sizes = dict(zip(media["doc_id"], media["payload"].str.len()))
+    got = frames.groupby("doc_id")
+    for did, g in got:
+        n_frames = max(1, (sizes[did] + 4095) // 4096)
+        expect_idx = sorted(set(range(0, n_frames, 4)) | {n_frames - 1})
+        assert sorted(g["frame_idx"]) == expect_idx, did
+        assert (g["byte_offset"] == g["frame_idx"] * 4096).all()
+    # determinism
+    again = multimodal_frame_sample(SF_DIR).to_pandas()
+    a = frames.sort_values(["doc_id", "frame_idx"])["frame_hash"].tolist()
+    b = again.sort_values(["doc_id", "frame_idx"])["frame_hash"].tolist()
+    assert a == b

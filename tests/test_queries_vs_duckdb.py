@@ -80,7 +80,8 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     non_sql = {"extract_turns", "assemble_conversations",
                "assemble_documents", "dedup_minhash_lsh",
                "dedup_simhash", "dedup_ngram_jaccard", "knn_lsh",
-               "embedding_near_dup", "multimodal_features", "sample_events",
+               "embedding_near_dup", "multimodal_features",
+               "multimodal_resize", "multimodal_frame_sample", "sample_events",
                "qa_turn_metrics", "qa_content_accounting",
                "qa_against_expected", "segment_turns",
                "topk_boilerplate_turns", "engine_block_stats",
