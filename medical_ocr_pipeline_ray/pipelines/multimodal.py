@@ -145,8 +145,8 @@ def multimodal_resize(sf_dir: str, max_side: int = 96):
         concurrency=(1, 4), fn_constructor_kwargs={"max_side": max_side})
 
 
-def multimodal_frame_sample(sf_dir: str, frame_bytes: int = 4096,
-                            every: int = 4):
+def multimodal_frame_sample(sf_dir: str, frame_bytes: int = 512,
+                            every: int = 2):
     """Frame sampling over 'video' payloads: each binary payload is split
     into fixed-stride frames and every ``every``-th frame (plus the last)
     is emitted as its own row with a content hash — the row-expansion

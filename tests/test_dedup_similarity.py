@@ -206,10 +206,10 @@ def test_multimodal_frame_sample(ray_session):
     sizes = dict(zip(media["doc_id"], media["payload"].str.len()))
     got = frames.groupby("doc_id")
     for did, g in got:
-        n_frames = max(1, (sizes[did] + 4095) // 4096)
-        expect_idx = sorted(set(range(0, n_frames, 4)) | {n_frames - 1})
+        n_frames = max(1, (sizes[did] + 511) // 512)
+        expect_idx = sorted(set(range(0, n_frames, 2)) | {n_frames - 1})
         assert sorted(g["frame_idx"]) == expect_idx, did
-        assert (g["byte_offset"] == g["frame_idx"] * 4096).all()
+        assert (g["byte_offset"] == g["frame_idx"] * 512).all()
     # determinism
     again = multimodal_frame_sample(SF_DIR).to_pandas()
     a = frames.sort_values(["doc_id", "frame_idx"])["frame_hash"].tolist()
