@@ -104,9 +104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_clusters": dedup.dedup_clusters,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (decode/feature/resize/frame-sample stages;
         # pixel kernels stubbed, Ray plumbing real)

@@ -358,3 +358,94 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
     # LSH operators are the scale path) → allow big buckets here
     cands = _pairs_from_buckets(keyed, "len_bucket", max_bucket=4096)
     return _verify(cands, sf_dir, "jaccard", k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# near-dup graph → cluster assignment (distributed connected components)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(sf_dir: str, max_iters: int = 3):
+    """Connected components over the near-duplicate pair graph — the
+    DECISION step of corpus dedup (which docs collapse into one cluster,
+    who is the canonical representative = min doc_id).
+
+    Iterative min-label propagation, every round a bucketed exchange:
+    labels join edges on the source node (hash-bucketed), candidate
+    labels flow to neighbors, per-node min.  Converges in graph-diameter
+    rounds — near-dup clusters are stars/short chains (diameter ≤ 2 with
+    star-paired hot buckets), so ``max_iters=3`` is safe; the edge list
+    (verified pairs, tiny relative to the corpus) is materialized once so
+    iterations never re-run the LSH pipeline.  No driver-side union-find:
+    the same loop runs at any edge-list scale."""
+    pairs = dedup_minhash_lsh(sf_dir)
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy().astype(np.int64)
+        b = df["doc_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(df["src"].to_numpy())
+        return pd.DataFrame({
+            "bucket": (nodes % _PAIR_BUCKETS).astype(np.int32),
+            "node": nodes, "label": nodes})
+
+    labels = edges.map_batches(init_labels, batch_format="pandas") \
+        .groupby("bucket").map_groups(
+            lambda g: g.drop_duplicates("node"), batch_format="pandas") \
+        .materialize()
+
+    def key_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["src"].to_numpy() % _PAIR_BUCKETS)
+            .astype(np.int32),
+            "node": df["src"].to_numpy(),
+            "dst": df["dst"].to_numpy(),
+            "label": np.full(len(df), -1, dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def key_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["node"].to_numpy() % _PAIR_BUCKETS)
+            .astype(np.int32),
+            "node": df["node"].to_numpy(),
+            "dst": np.full(len(df), -1, dtype=np.int64),
+            "label": df["label"].to_numpy(),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 1]
+        lookup = dict(zip(lab["node"], lab["label"]))
+        e = g[g["side"] == 0]
+        cand = e["node"].map(lookup)   # edge src carried in "node"
+        out_node = np.concatenate([e["dst"].to_numpy(),
+                                   lab["node"].to_numpy()])
+        out_label = np.concatenate([cand.to_numpy().astype(np.int64),
+                                    lab["label"].to_numpy()])
+        return pd.DataFrame({
+            "bucket": (out_node % _PAIR_BUCKETS).astype(np.int32),
+            "node": out_node, "label": out_label})
+
+    def take_min(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("node", as_index=False)["label"].min()
+        return pd.DataFrame({
+            "bucket": (t["node"].to_numpy() % _PAIR_BUCKETS)
+            .astype(np.int32),
+            "node": t["node"], "label": t["label"]})
+
+    for _ in range(max_iters):
+        both = edges.map_batches(key_edges, batch_format="pandas").union(
+            labels.map_batches(key_labels, batch_format="pandas"))
+        cands = both.groupby("bucket").map_groups(propagate,
+                                                  batch_format="pandas")
+        labels = cands.groupby("bucket").map_groups(
+            take_min, batch_format="pandas").materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                             "cluster_rep": df["label"].astype(np.int64)})
+
+    return labels.map_batches(finish, batch_format="pandas")

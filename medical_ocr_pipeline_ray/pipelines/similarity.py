@@ -207,3 +207,68 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.99,
 
     return pairs.map_batches(key, batch_format="pandas") \
         .groupby("coarse").map_groups(uniq, batch_format="pandas")
+
+
+def _ivf_centroids(sf_dir: str, n_centroids: int = 16,
+                   n_iters: int = 5, sample: int = 512) -> np.ndarray:
+    """Deterministic coarse centroids: fixed-iteration Lloyd k-means over
+    a PRUNED sample of the corpus (first ``sample`` vec_ids — a row-group
+    read, never the full table).  Seeded init from evenly-spaced sample
+    rows; empty clusters keep their previous centroid."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", sample)])
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl["embedding"].to_pylist()])
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
+    cents = x[idx].copy()
+    for _ in range(n_iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def knn_ivf(sf_dir: str, k: int = 10, n_centroids: int = 16,
+            nprobe: int = 4):
+    """IVF-style approximate top-k (the brief's named scale path): coarse
+    centroids trained once on a pruned sample and broadcast via
+    ``ray.put``; each batch assigns its vectors to the nearest centroid
+    and scores ONLY vectors falling in the query's ``nprobe`` nearest
+    cells (~nprobe/n_centroids of the corpus scanned).  Per-batch local
+    top-k + small merge; recall vs brute force asserted in tests."""
+    q = _query_vec(sf_dir)
+    cents = _ivf_centroids(sf_dir, n_centroids)
+    qd = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = set(int(i) for i in np.argsort(qd)[:nprobe])
+    qn = np.linalg.norm(q)
+    ref = ray.put((q, cents))
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def score(df: pd.DataFrame, _ref=ref, _cells=probe_cells,
+              _qn=qn) -> pd.DataFrame:
+        qv, cs = ray.get(_ref)
+        e = _emb_matrix(df)
+        d = ((e[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, list(_cells))
+        if not mask.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        e = e[mask]
+        sims = (e @ qv) / (np.linalg.norm(e, axis=1) * _qn)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy()[mask].astype(np.int64),
+            "cosine": sims})
+
+    from .relational import local_topk
+    scored = ds.map_batches(score, batch_format="pandas")
+    top = (local_topk(scored, ["cosine", "vec_id"], [True, False], k)
+           .to_pandas().reset_index(drop=True))
+    return pd.DataFrame({
+        "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+        "vec_id": top["vec_id"].astype(np.int64)})

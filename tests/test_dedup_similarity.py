@@ -215,3 +215,51 @@ def test_multimodal_frame_sample(ray_session):
     a = frames.sort_values(["doc_id", "frame_idx"])["frame_hash"].tolist()
     b = again.sort_values(["doc_id", "frame_idx"])["frame_hash"].tolist()
     assert a == b
+
+
+def test_dedup_clusters_match_union_find(ray_session):
+    """Connected components by distributed label propagation equal a
+    sequential union-find over the SAME verified pair set, and planted
+    twin chains (X, X+1M, X+2M) collapse to representative X."""
+    from medical_ocr_pipeline_ray.pipelines.dedup import (dedup_clusters,
+                                                          dedup_minhash_lsh)
+    pairs = _pdf(dedup_minhash_lsh(SF_DIR))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    got = _pdf(dedup_clusters(SF_DIR))
+    got_map = dict(zip(got["doc_id"].astype(int),
+                       got["cluster_rep"].astype(int)))
+    assert got_map == want
+    # every edge's endpoints share a representative, reps are component
+    # minima, and transitive (multi-hop) components exist in the corpus
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        assert got_map[a] == got_map[b]
+    from collections import Counter
+    comp_sizes = Counter(got_map.values())
+    assert max(comp_sizes.values()) >= 3      # at least one multi-hop chain
+    for node, rep in got_map.items():
+        assert rep <= node
+        assert got_map[rep] == rep
+
+
+def test_knn_ivf_recall_vs_brute(ray_session):
+    from medical_ocr_pipeline_ray.pipelines.similarity import (knn_brute_force,
+                                                               knn_ivf)
+    brute = knn_brute_force(SF_DIR)
+    approx = knn_ivf(SF_DIR)
+    recall = len(set(brute["vec_id"]) & set(approx["vec_id"])) / len(brute)
+    # nprobe/n_centroids = 1/4 of the corpus scanned; gaussian corpora are
+    # the adversarial case for coarse quantization
+    assert recall >= 0.3
+    assert brute["vec_id"].iloc[0] == approx["vec_id"].iloc[0]  # query itself

@@ -79,7 +79,8 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
     non_sql = {"extract_turns", "assemble_conversations",
                "assemble_documents", "dedup_minhash_lsh",
-               "dedup_simhash", "dedup_ngram_jaccard", "knn_lsh",
+               "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
+               "knn_lsh", "knn_ivf",
                "embedding_near_dup", "multimodal_features",
                "multimodal_resize", "multimodal_frame_sample", "sample_events",
                "qa_turn_metrics", "qa_content_accounting",
