@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": relational.events_hourly_window,
         "events_sliding_window": relational.events_sliding_window,
         "events_sessions": relational.events_sessions,
+        "events_asof_attribution": relational.events_asof_attribution,
+        "lineitem_promo_revenue": relational.lineitem_promo_revenue,
         "label_counts": relational.label_counts,
         "join_lineitem_orders_priority":
             relational.join_lineitem_orders_priority,
@@ -129,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_window": relational.EVENTS_WINDOW_SQL,
         "events_sliding_window": relational.EVENTS_SLIDING_SQL,
         "events_sessions": relational.EVENTS_SESSIONS_SQL,
+        "events_asof_attribution": relational.EVENTS_ASOF_SQL,
+        "lineitem_promo_revenue": relational.LINEITEM_PROMO_SQL,
         "label_counts": relational.LABEL_COUNTS_SQL,
         "join_lineitem_orders_priority": relational.JOIN_PRIORITY_SQL,
         "semi_join_customers_with_orders": relational.SEMI_JOIN_SQL,

@@ -774,3 +774,168 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_date_s
 ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (attribution): purchase → latest preceding view per user.
+# Ray Data has no native as-of join; the portable construction is a
+# bucketed exchange on the equality key + pandas merge_asof per bucket
+# (SURVEY.md custom-operator policy (a): composition of map_batches +
+# groupby).  Partitioning assumption: all rows of one user fit one bucket
+# task — the same assumption every by-key as-of join makes; salt the user
+# key if a single user's history exceeds a task.
+# ---------------------------------------------------------------------------
+
+def events_asof_attribution(sf_dir: str, left_type: str = "purchase",
+                            right_type: str = "view"):
+    """For every ``purchase`` event: the latest ``view`` event of the same
+    user at-or-before the purchase time (backward as-of, exact matches
+    allowed — mirrors DuckDB ``ASOF LEFT JOIN ... ON ts >= ts``).
+    Unmatched purchases carry -1 (kept integer, no NULL/NaN ambiguity in
+    the hash gate)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin([left_type, right_type])]
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % _SESSION_BUCKETS)
+            .astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "ts_us": df["ts"].astype("int64").to_numpy(),
+            "side": np.where(df["event_type"].to_numpy() == left_type,
+                             0, 1).astype(np.int8)})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["user_id", "event_id", "ts_us"]] \
+            .sort_values(["ts_us", "event_id"], kind="mergesort")
+        right = g[g["side"] == 1][["user_id", "ts_us"]] \
+            .sort_values("ts_us", kind="mergesort") \
+            .assign(view_ts_us=lambda d: d["ts_us"])
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "view_ts_s": pd.Series([], dtype=np.int64),
+            "lag_s": pd.Series([], dtype=np.int64)})
+        if left.empty:
+            return empty
+        if right.empty:
+            return pd.DataFrame({
+                "purchase_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "view_ts_s": np.full(len(left), -1, dtype=np.int64),
+                "lag_s": np.full(len(left), -1, dtype=np.int64)})
+        m = pd.merge_asof(left, right, on="ts_us", by="user_id",
+                          direction="backward", allow_exact_matches=True)
+        matched = m["view_ts_us"].notna()
+        vts = np.where(matched, m["view_ts_us"].fillna(0) // 1_000_000,
+                       -1).astype(np.int64)
+        # lag in whole seconds of floored epochs (matches the SQL oracle's
+        # floor(epoch(p)) - floor(epoch(v)) exactly)
+        pts = (m["ts_us"] // 1_000_000).to_numpy().astype(np.int64)
+        lag = np.where(matched, pts - vts, -1).astype(np.int64)
+        return pd.DataFrame({
+            "purchase_id": m["event_id"].to_numpy(),
+            "user_id": m["user_id"].to_numpy(),
+            "view_ts_s": vts,
+            "lag_s": lag})
+
+    return keyed.groupby("bucket").map_groups(asof_bucket,
+                                              batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+     v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       COALESCE(CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS view_ts_s,
+       COALESCE(CAST(floor(epoch(p.ts)) AS BIGINT)
+                - CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS lag_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range join: lineitem rows falling inside derived promo intervals.
+# Ray Data has no range join; the portable construction broadcasts the
+# (small) interval side sorted by start and resolves membership per batch
+# with vectorized searchsorted — valid because the intervals are
+# non-overlapping.  For OVERLAPPING intervals the general pattern is
+# time-banding: replicate each interval to every band it touches, bin the
+# fact rows by band, and join inside each band's group (same coarse-key
+# exchange as the joins above).
+# ---------------------------------------------------------------------------
+
+def lineitem_promo_revenue(sf_dir: str):
+    """Revenue of lineitems shipped inside each 'promo window' — the
+    [start+25d, start+35d) slice of every order month (windows derived
+    from the orders table, spanning month boundaries so a naive
+    month-equality join would be wrong; matched purely on the range
+    predicate l_shipdate ∈ [lo, hi))."""
+    months = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+
+    def month_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["o_orderdate"].dt.to_period("M").dt.start_time \
+            .astype("datetime64[us]")   # normalize: start_time is ns-based
+        return pd.DataFrame({"month_us": np.unique(m.astype("int64"))})
+
+    month_us = sorted({int(x) for b in months.map_batches(
+        month_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas") for x in b["month_us"]})
+    day_us = 86_400_000_000
+    lo = np.array(month_us, dtype=np.int64) + 25 * day_us
+    hi = lo + 10 * day_us
+    iv_ref = ray.put((lo, hi))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(df: pd.DataFrame, _ref=iv_ref) -> pd.DataFrame:
+        lo_a, hi_a = ray.get(_ref)
+        ts = df["l_shipdate"].astype("int64").to_numpy()
+        idx = np.searchsorted(lo_a, ts, side="right") - 1
+        ok = (idx >= 0) & (ts < hi_a[np.clip(idx, 0, len(hi_a) - 1)])
+        df = df[ok]
+        if df.empty:
+            return pd.DataFrame({
+                "window_start_s": pd.Series([], dtype=np.int64),
+                "rev_u": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        t = pd.DataFrame({
+            "window_start_s": (lo_a[idx[ok]] // 1_000_000).astype(np.int64),
+            "rev_u": _micros(price * (1.0 - disc)),
+            "n": np.ones(int(ok.sum()), dtype=np.int64)})
+        return t.groupby("window_start_s", as_index=False).sum()
+
+    partials = li.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("window_start_s").aggregate(
+        Sum("rev_u", alias_name="rev_u"), Sum("n", alias_name="n_items"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start_s": df["window_start_s"].astype(np.int64),
+            "n_items": df["n_items"],
+            "revenue": df["rev_u"] / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+LINEITEM_PROMO_SQL = """
+WITH m AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS ms
+           FROM orders),
+     iv AS (SELECT ms + INTERVAL 25 DAY AS lo, ms + INTERVAL 35 DAY AS hi
+            FROM m)
+SELECT CAST(floor(epoch(lo)) AS BIGINT) AS window_start_s,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+         /1000000.0 AS revenue
+FROM iv JOIN lineitem ON l_shipdate >= lo AND l_shipdate < hi
+GROUP BY lo
+"""
