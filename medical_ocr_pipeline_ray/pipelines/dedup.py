@@ -364,7 +364,7 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
 # near-dup graph → cluster assignment (distributed connected components)
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(sf_dir: str, max_iters: int = 3):
+def dedup_clusters(sf_dir: str, max_iters: int = 8):
     """Connected components over the near-duplicate pair graph — the
     DECISION step of corpus dedup (which docs collapse into one cluster,
     who is the canonical representative = min doc_id).
@@ -373,7 +373,8 @@ def dedup_clusters(sf_dir: str, max_iters: int = 3):
     labels join edges on the source node (hash-bucketed), candidate
     labels flow to neighbors, per-node min.  Converges in graph-diameter
     rounds — near-dup clusters are stars/short chains (diameter ≤ 2 with
-    star-paired hot buckets), so ``max_iters=3`` is safe; the edge list
+    star-paired hot buckets), and the label-sum early stop makes extra rounds free, so
+    ``max_iters=8`` comfortably covers longer chains; the edge list
     (verified pairs, tiny relative to the corpus) is materialized once so
     iterations never re-run the LSH pipeline.  No driver-side union-find:
     the same loop runs at any edge-list scale."""
@@ -436,6 +437,7 @@ def dedup_clusters(sf_dir: str, max_iters: int = 3):
             .astype(np.int32),
             "node": t["node"], "label": t["label"]})
 
+    prev_sum = None
     for _ in range(max_iters):
         both = edges.map_batches(key_edges, batch_format="pandas").union(
             labels.map_batches(key_labels, batch_format="pandas"))
@@ -443,6 +445,13 @@ def dedup_clusters(sf_dir: str, max_iters: int = 3):
                                                   batch_format="pandas")
         labels = cands.groupby("bucket").map_groups(
             take_min, batch_format="pandas").materialize()
+        # min-propagation labels only ever decrease, so an unchanged label
+        # sum proves convergence — stop early instead of running the full
+        # diameter bound
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
