@@ -153,10 +153,11 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET):
                              "doc_b": np.concatenate(outs_b)})
 
     # NOTE: a pair can surface from several buckets.  Deduping 10^5+
-    # candidate keys through a groupby costs far more than verifying the
-    # duplicates (measured 45 s vs 2 s at sf0.01), so candidates flow to
-    # the verifier as-is and the (tiny, deterministic) VERIFIED result is
-    # deduped instead — see _dedupe_pairs.
+    # candidate keys through their own shuffle costs far more than
+    # verifying the duplicates (measured 45 s vs 2 s at sf0.01), so
+    # candidates flow onward as-is and dedup rides the first text-attach
+    # join for free (all copies of a pair share doc_a → same bucket; see
+    # _attach_text).
     return keyed.map_batches(coarse, batch_format="pandas") \
         .groupby("coarse").map_groups(emit_pairs, batch_format="pandas")
 
