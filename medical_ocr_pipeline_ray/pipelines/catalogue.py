@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "engine_block_stats": qa.engine_block_stats,
         "qa_quality_gate": qa.qa_quality_gate,
         "best_variant_extraction": qa.best_variant_extraction,
+        "payload_coverage_grid": qa.payload_coverage_grid,
         # segment assembly (SURVEY L5)
         "segment_turns": segments.segment_turns,
         # schema-document assembly (reference stages 04/05 merge_dict fold;

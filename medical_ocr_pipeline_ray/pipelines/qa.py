@@ -412,3 +412,87 @@ def best_variant_extraction(sf_dir: str):
             "content_chars": np.array(chars_l, dtype=np.int32)})
 
     return ds.map_batches(choose, batch_format="pandas")
+
+
+def export_qa_report_html(out_dir: str) -> str:
+    """Static HTML QA report over the checkpoint manifest (reference S7 —
+    the HTML report writer in qa_pipeline_evaluator.py:819-866, kept as a
+    driver-side post-process exactly as SURVEY.md maps it: debug
+    artifacts never run inside the dataflow)."""
+    import html
+    import os
+
+    from ..state.manifest import load_manifest
+    man = load_manifest(out_dir)
+    classes = sorted({c for r in man.values()
+                      for c in r.get("class_histogram", {})})
+    rows_html = []
+    tot_rows = tot_chars = 0
+    for name in sorted(man):
+        r = man[name]
+        tot_rows += r["rows"]
+        tot_chars += r["content_chars"]
+        cells = "".join(
+            f"<td>{r['class_histogram'].get(c, 0)}</td>" for c in classes)
+        rows_html.append(
+            f"<tr><td>{html.escape(name)}</td><td>{r['rows']}</td>"
+            f"<td>{r['content_chars']}</td>{cells}</tr>")
+    head = "".join(f"<th>{html.escape(c)}</th>" for c in classes)
+    doc = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>extraction QA report</title><style>"
+        "body{font-family:sans-serif}table{border-collapse:collapse}"
+        "td,th{border:1px solid #999;padding:4px 8px;text-align:right}"
+        "td:first-child,th:first-child{text-align:left}</style></head>"
+        f"<body><h1>Extraction QA report</h1>"
+        f"<p>{len(man)} partitions · {tot_rows} turns · "
+        f"{tot_chars} extracted chars</p>"
+        f"<table><tr><th>partition</th><th>rows</th><th>chars</th>{head}"
+        f"</tr>{''.join(rows_html)}</table></body></html>")
+    path = os.path.join(out_dir, "qa_report.html")
+    with open(path + ".tmp", "w") as f:
+        f.write(doc)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def payload_coverage_grid(sf_dir: str, grid: int = 8):
+    """Per-page bbox coverage histogram (reference G9 coverage mask,
+    02_ocr_verifier.py:91-106 — 2-D bin counts of block coverage): each
+    tool payload page yields a grid×grid int64 tensor column counting
+    kept blocks whose bbox overlaps each cell.  Pure per-turn numpy
+    reduction inside the batch map; no shuffle."""
+    from ..functions.pdfblocks import is_pdf_payload, parse_payload
+
+    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+
+    def grids(df: pd.DataFrame) -> pd.DataFrame:
+        convs, turns, pages, cells = [], [], [], []
+        for conv, tix, text, tool in zip(df["conv_id"], df["turn_idx"],
+                                         df["text"], df["tool"]):
+            if not tool or not isinstance(text, str) or \
+                    not is_pdf_payload(text):
+                continue
+            kept, _low, pdims = parse_payload(text)
+            by_page: dict[int, np.ndarray] = {}
+            for b in kept:
+                w, h = pdims.get(b.page, (800.0, 1000.0))
+                g = by_page.setdefault(b.page,
+                                       np.zeros((grid, grid), np.int64))
+                x0 = int(np.clip(b.x0 / w * grid, 0, grid - 1))
+                x1 = int(np.clip((b.x1 - 1e-9) / w * grid, 0, grid - 1))
+                y0 = int(np.clip(b.y0 / h * grid, 0, grid - 1))
+                y1 = int(np.clip((b.y1 - 1e-9) / h * grid, 0, grid - 1))
+                g[y0:y1 + 1, x0:x1 + 1] += 1
+            for page in sorted(by_page):
+                convs.append(conv)
+                turns.append(int(tix))
+                pages.append(page)
+                cells.append(by_page[page].reshape(-1))
+        return pd.DataFrame({
+            "conv_id": convs,
+            "turn_idx": np.array(turns, dtype=np.int32),
+            "page": np.array(pages, dtype=np.int32),
+            "coverage": cells})
+
+    return ds.map_batches(grids, batch_format="pandas")
