@@ -45,9 +45,57 @@ def empty_doc() -> dict:
             "tests": []}
 
 
+def _doc_from_json(obj) -> dict:
+    """Map a parsed (possibly sloppy) JSON object onto the domain doc —
+    tolerant of string-vs-struct fields, like the reference's
+    ``coerce_to_list_of_dicts`` hardening
+    (notebooks/04a_extraction_hardening.ipynb:~91)."""
+    if not isinstance(obj, dict):
+        return {}
+    doc = empty_doc()
+    found = False
+    pat = obj.get("patient")
+    if isinstance(pat, dict):
+        doc["patient"]["name"] = str(pat.get("name", "") or "")
+        doc["patient"]["age"] = str(pat.get("age", "") or "")
+        found = True
+    elif isinstance(pat, str) and pat:
+        doc["patient"]["name"] = pat
+        found = True
+    doc_f = obj.get("doctor")
+    if isinstance(doc_f, dict):
+        doc["doctor"]["name"] = str(doc_f.get("name", "") or "")
+        found = True
+    elif isinstance(doc_f, str) and doc_f:
+        doc["doctor"]["name"] = doc_f
+        found = True
+    for it in (obj.get("medications") or []):
+        if isinstance(it, dict):
+            item = {"drug": str(it.get("drug", "") or ""),
+                    "strength": str(it.get("strength", "") or ""),
+                    "frequency": str(it.get("frequency", "") or "")}
+        else:
+            item = {"drug": str(it), "strength": "", "frequency": ""}
+        if item not in doc["medications"]:
+            doc["medications"].append(item)
+        found = True
+    for t in (obj.get("tests") or []):
+        if str(t) and str(t) not in doc["tests"]:
+            doc["tests"].append(str(t))
+        found = True
+    return doc if found else {}
+
+
 def extract_doc_fields(text: str) -> dict:
-    """Deterministic per-turn partial document from ``Key: value`` lines.
+    """Deterministic per-turn partial document from ``Key: value`` lines
+    or a fenced JSON payload (fence-strip + light repair, reference M14).
     Returns {} when the turn contributes nothing (most turns)."""
+    if "```" in (text or ""):
+        from .jsonrepair import parse_json_maybe, strip_fences
+        obj = parse_json_maybe(strip_fences(text))
+        d = _doc_from_json(obj)
+        if d:
+            return d
     doc = empty_doc()
     found = False
     for key, val in _LINE_RX.findall(text or ""):

@@ -363,6 +363,37 @@ def _make_form(rng: random.Random) -> tuple[str, str]:
     return text, text
 
 
+def _make_form_json(rng: random.Random) -> tuple[str, str]:
+    """Model-style fenced JSON form turn — sometimes with leading prose
+    and a trailing comma, so the fence-strip + light-repair path
+    (functions/jsonrepair.py, reference M14) is exercised.  Classifies as
+    plain (identity extraction); contributes to the schema-document
+    assembly via the repaired JSON."""
+    parts: list[str] = []
+    if rng.random() < 0.8:
+        parts.append(f'"patient": {{"name": "{rng.choice(_FORM_FIRST)} '
+                     f'{rng.choice(_FORM_LAST)}", '
+                     f'"age": "{rng.randint(20, 90)}"}}')
+    if rng.random() < 0.5:
+        parts.append(f'"doctor": {{"name": "Dr {rng.choice(_FORM_LAST)}"}}')
+    meds = []
+    for _ in range(rng.randint(0, 2)):
+        meds.append(f'{{"drug": "{rng.choice(_FORM_DRUGS)}", '
+                    f'"strength": "{rng.randint(1, 50) * 10} mg", '
+                    f'"frequency": "{rng.choice(_FORM_FREQ)}"}}')
+    if meds:
+        parts.append(f'"medications": [{", ".join(meds)}]')
+    if rng.random() < 0.5:
+        parts.append(f'"tests": ["{rng.choice(_FORM_TESTS)}"]')
+    if not parts:
+        parts.append(f'"tests": ["{rng.choice(_FORM_TESTS)}"]')
+    trailing = "," if rng.random() < 0.4 else ""
+    body = "{" + ", ".join(parts) + trailing + "}"
+    prefix = "Model output follows\n" if rng.random() < 0.3 else ""
+    text = f"{prefix}```json\n{body}\n```"
+    return text, text
+
+
 def _make_degenerate(rng: random.Random) -> tuple[str, str]:
     choice = rng.randint(0, 3)
     if choice == 0:
@@ -384,7 +415,8 @@ _CLASS_BUILDERS = (
     ("tool_pdf_bigfont", _make_pdf_bigfont, 0.025),
     ("tool_pdf_handwriting", _make_pdf_handwriting, 0.025),
     ("tool_pdf_sparse", _make_pdf_sparse, 0.02),
-    ("form", _make_form, 0.06),
+    ("form", _make_form, 0.05),
+    ("form_json", _make_form_json, 0.03),
     ("degenerate", _make_degenerate, 0.06),
 )
 _CLASS_CUM = np.cumsum([w for _, _, w in _CLASS_BUILDERS])
@@ -482,7 +514,7 @@ TIERS = {
     "bench_xxl": (240_000, 5, 50, 0, 256),
 }
 
-GEN_VERSION = "v4"   # bump to invalidate /tmp caches on generator changes
+GEN_VERSION = "v5"   # bump to invalidate /tmp caches on generator changes
 
 
 def _write_shard(tier_spec: tuple, shard: int, seed: int, tdir: str,

@@ -111,3 +111,34 @@ def test_salted_fold_matches_unsalted(ray_session):
     for got in (base, salted):
         assert list(got["conv_id"]) == list(want["conv_id"])
         assert list(got["doc_json"]) == list(want["doc_json"])
+
+
+class TestJsonRepair:
+    def test_strip_and_repair(self):
+        from medical_ocr_pipeline_ray.functions.jsonrepair import (
+            light_repair, parse_json_maybe, strip_fences)
+        raw = ('Model output follows\n```json\n'
+               '{"tests": ["blood count",], "doctor": {"name": "Dr Quinn"},}'
+               '\n```')
+        assert strip_fences(raw).strip().startswith("{")
+        assert parse_json_maybe(raw) == {
+            "tests": ["blood count"], "doctor": {"name": "Dr Quinn"}}
+        assert light_repair('junk before {"a": [1,2,],}') == '{"a": [1,2]}'
+        assert parse_json_maybe("no json at all") is None
+
+    def test_fenced_json_feeds_doc_fields(self):
+        from medical_ocr_pipeline_ray.functions.docschema import \
+            extract_doc_fields
+        raw = ('```json\n{"patient": {"name": "Ana Moreno", "age": "41"}, '
+               '"medications": [{"drug": "metformin", "strength": "500 mg", '
+               '"frequency": "twice daily"}],}\n```')
+        d = extract_doc_fields(raw)
+        assert d["patient"] == {"name": "Ana Moreno", "age": "41"}
+        assert d["medications"][0]["drug"] == "metformin"
+        # string-coerced sloppy shapes
+        d2 = extract_doc_fields(
+            '```json\n{"patient": "Ben Quinn", "medications": '
+            '["ibuprofen"]}\n```')
+        assert d2["patient"]["name"] == "Ben Quinn"
+        assert d2["medications"] == [{"drug": "ibuprofen", "strength": "",
+                                      "frequency": ""}]

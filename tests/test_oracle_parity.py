@@ -28,7 +28,8 @@ def test_oracle_matches_generator_expected_t2_sample():
     assert set(classes) == {"plain", "html", "markdown", "ocr_noisy",
                             "tool_pdf_payload", "tool_pdf_twocol",
                             "tool_pdf_bigfont", "tool_pdf_handwriting",
-                            "tool_pdf_sparse", "form", "degenerate"}
+                            "tool_pdf_sparse", "form", "form_json",
+                            "degenerate"}
 
 
 def test_digit_preservation_invariant():
