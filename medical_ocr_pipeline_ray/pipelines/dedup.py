@@ -370,92 +370,114 @@ def dedup_clusters(sf_dir: str, max_iters: int = 8):
     DECISION step of corpus dedup (which docs collapse into one cluster,
     who is the canonical representative = min doc_id).
 
-    Iterative min-label propagation, every round a bucketed exchange:
-    labels join edges on the source node (hash-bucketed), candidate
-    labels flow to neighbors, per-node min.  Converges in graph-diameter
-    rounds — near-dup clusters are stars/short chains (diameter ≤ 2 with
-    star-paired hot buckets), and the label-sum early stop makes extra rounds free, so
-    ``max_iters=8`` comfortably covers longer chains; the edge list
-    (verified pairs, tiny relative to the corpus) is materialized once so
-    iterations never re-run the LSH pipeline.  No driver-side union-find:
-    the same loop runs at any edge-list scale."""
+    Iterative min-label propagation with per-bucket LOCAL CONTRACTION:
+    each round is ONE bucketed exchange; inside a bucket a local
+    union-find collapses all intra-bucket connectivity instantly, so the
+    round count is the CROSS-bucket diameter (1-2 for near-dup graphs),
+    not the path length.  Row roles: side 0 = edge, side 1 = canonical
+    label (exactly one per node, owned by the node's bucket), side 2 =
+    label candidate sent from a neighbor bucket.  Labels only decrease,
+    so an unchanged side-1 label sum proves convergence (early stop under
+    the ``max_iters`` backstop).  The edge list (verified pairs, tiny
+    relative to the corpus) is materialized once; state is repartitioned
+    each round so block counts stay flat (Ray unions concatenate block
+    lists — unchecked, per-round groupby overhead would grow linearly).
+    No driver-side union-find: the same loop runs at any edge-list
+    scale."""
     pairs = dedup_minhash_lsh(sf_dir)
 
+    # edges pre-keyed by src bucket (both directions), materialized once
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy().astype(np.int64)
         b = df["doc_b"].to_numpy().astype(np.int64)
-        return pd.DataFrame({"src": np.concatenate([a, b]),
-                             "dst": np.concatenate([b, a])})
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pd.DataFrame({
+            "bucket": (src % _PAIR_BUCKETS).astype(np.int32),
+            "node": src, "dst": dst,
+            "label": np.full(len(src), -1, dtype=np.int64),
+            "side": np.zeros(len(src), dtype=np.int8)})
 
-    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    edges = pairs.map_batches(to_edges, batch_format="pandas") \
+        .repartition(8).materialize()
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.unique(df["src"].to_numpy())
+        nodes = np.unique(df["node"].to_numpy())
         return pd.DataFrame({
             "bucket": (nodes % _PAIR_BUCKETS).astype(np.int32),
-            "node": nodes, "label": nodes})
+            "node": nodes, "dst": np.full(len(nodes), -1, dtype=np.int64),
+            "label": nodes, "side": np.full(len(nodes), 2, dtype=np.int8)})
 
-    labels = edges.map_batches(init_labels, batch_format="pandas") \
-        .groupby("bucket").map_groups(
-            lambda g: g.drop_duplicates("node"), batch_format="pandas") \
-        .materialize()
+    # initial rows are side-2 candidates; round 1 collapses duplicates
+    # into one canonical side-1 label per node
+    state = edges.map_batches(init_labels,
+                              batch_format="pandas").materialize()
 
-    def key_edges(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "bucket": (df["src"].to_numpy() % _PAIR_BUCKETS)
-            .astype(np.int32),
-            "node": df["src"].to_numpy(),
-            "dst": df["dst"].to_numpy(),
-            "label": np.full(len(df), -1, dtype=np.int64),
-            "side": np.zeros(len(df), dtype=np.int8)})
-
-    def key_labels(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "bucket": (df["node"].to_numpy() % _PAIR_BUCKETS)
-            .astype(np.int32),
-            "node": df["node"].to_numpy(),
-            "dst": np.full(len(df), -1, dtype=np.int64),
-            "label": df["label"].to_numpy(),
-            "side": np.ones(len(df), dtype=np.int8)})
-
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["side"] == 1]
-        lookup = dict(zip(lab["node"], lab["label"]))
+    def contract(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket's round: per-node min over canonical labels +
+        incoming candidates → local union-find over intra-bucket edges →
+        component-min labels → one side-1 row per node + side-2
+        candidates for external neighbors."""
+        lab_rows = g[g["side"] != 0]
+        lookup: dict[int, int] = {}
+        for n, l in zip(lab_rows["node"], lab_rows["label"]):
+            n, l = int(n), int(l)
+            if l < lookup.get(n, 1 << 62):
+                lookup[n] = l
         e = g[g["side"] == 0]
-        cand = e["node"].map(lookup)   # edge src carried in "node"
-        out_node = np.concatenate([e["dst"].to_numpy(),
-                                   lab["node"].to_numpy()])
-        out_label = np.concatenate([cand.to_numpy().astype(np.int64),
-                                    lab["label"].to_numpy()])
-        return pd.DataFrame({
-            "bucket": (out_node % _PAIR_BUCKETS).astype(np.int32),
-            "node": out_node, "label": out_label})
+        parent: dict[int, int] = {}
 
-    def take_min(g: pd.DataFrame) -> pd.DataFrame:
-        t = g.groupby("node", as_index=False)["label"].min()
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        is_intra = np.fromiter((int(d) in lookup for d in e["dst"]),
+                               dtype=bool, count=len(e))
+        for s, d in zip(e["node"][is_intra], e["dst"][is_intra]):
+            rs, rd = find(int(s)), find(int(d))
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        comp_min: dict[int, int] = {}
+        for n, l in lookup.items():
+            r = find(n)
+            if l < comp_min.get(r, 1 << 62):
+                comp_min[r] = l
+        new_label = {n: comp_min[find(n)] for n in lookup}
+        out_n = list(new_label.keys())
+        out_l = [new_label[n] for n in out_n]
+        out_s = [1] * len(out_n)
+        for s, d in zip(e["node"][~is_intra], e["dst"][~is_intra]):
+            out_n.append(int(d))
+            out_l.append(new_label[int(s)])
+            out_s.append(2)
+        nodes = np.array(out_n, dtype=np.int64)
         return pd.DataFrame({
-            "bucket": (t["node"].to_numpy() % _PAIR_BUCKETS)
-            .astype(np.int32),
-            "node": t["node"], "label": t["label"]})
+            "bucket": (nodes % _PAIR_BUCKETS).astype(np.int32),
+            "node": nodes,
+            "dst": np.full(len(nodes), -1, dtype=np.int64),
+            "label": np.array(out_l, dtype=np.int64),
+            "side": np.array(out_s, dtype=np.int8)})
+
+    def only_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["side"] == 1]
 
     prev_sum = None
     for _ in range(max_iters):
-        both = edges.map_batches(key_edges, batch_format="pandas").union(
-            labels.map_batches(key_labels, batch_format="pandas"))
-        cands = both.groupby("bucket").map_groups(propagate,
-                                                  batch_format="pandas")
-        labels = cands.groupby("bucket").map_groups(
-            take_min, batch_format="pandas").materialize()
-        # min-propagation labels only ever decrease, so an unchanged label
-        # sum proves convergence — stop early instead of running the full
-        # diameter bound
-        cur_sum = labels.sum("label")
+        state = edges.union(state).groupby("bucket").map_groups(
+            contract, batch_format="pandas").repartition(8).materialize()
+        cur_sum = state.map_batches(only_labels,
+                                    batch_format="pandas").sum("label")
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
-                             "cluster_rep": df["label"].astype(np.int64)})
+        lab = df[df["side"] == 1]
+        return pd.DataFrame({"doc_id": lab["node"].astype(np.int64),
+                             "cluster_rep": lab["label"].astype(np.int64)})
 
-    return labels.map_batches(finish, batch_format="pandas")
+    return state.map_batches(finish, batch_format="pandas")
