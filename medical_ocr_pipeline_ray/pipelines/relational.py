@@ -367,10 +367,14 @@ FROM x GROUP BY event_type, window_start
 """
 
 
+# default partition counts for the bucketed exchanges; size P so one
+# bucket's slice (~data/P) fits a task at your corpus scale (a 100 TB run
+# wants P ~ bytes/256 MB, not 32) — every operator takes it as an argument
 _SESSION_BUCKETS = 32
 
 
-def events_sessions(sf_dir: str, gap_seconds: int = 1800):
+def events_sessions(sf_dir: str, gap_seconds: int = 1800,
+                   n_buckets: int = _SESSION_BUCKETS):
     """Per-user session count with a 30-min inactivity gap.
 
     Bucketed fold (stages/assemble.py pattern): group by the COARSE key
@@ -383,7 +387,7 @@ def events_sessions(sf_dir: str, gap_seconds: int = 1800):
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "bucket": (df["user_id"].to_numpy() % _SESSION_BUCKETS)
+            "bucket": (df["user_id"].to_numpy() % n_buckets)
             .astype(np.int32),
             "user_id": df["user_id"].to_numpy(),
             "event_id": df["event_id"].to_numpy(),
@@ -787,7 +791,8 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 # ---------------------------------------------------------------------------
 
 def events_asof_attribution(sf_dir: str, left_type: str = "purchase",
-                            right_type: str = "view"):
+                            right_type: str = "view",
+                            n_buckets: int = _SESSION_BUCKETS):
     """For every ``purchase`` event: the latest ``view`` event of the same
     user at-or-before the purchase time (backward as-of, exact matches
     allowed — mirrors DuckDB ``ASOF LEFT JOIN ... ON ts >= ts``).
@@ -799,7 +804,7 @@ def events_asof_attribution(sf_dir: str, left_type: str = "purchase",
     def key(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"].isin([left_type, right_type])]
         return pd.DataFrame({
-            "bucket": (df["user_id"].to_numpy() % _SESSION_BUCKETS)
+            "bucket": (df["user_id"].to_numpy() % n_buckets)
             .astype(np.int32),
             "user_id": df["user_id"].to_numpy(),
             "event_id": df["event_id"].to_numpy(),
