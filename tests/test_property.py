@@ -73,3 +73,37 @@ def test_dedup_order_invariant(specs, rnd):
 def test_sketches_deterministic(text):
     assert (minhash_signature(text) == minhash_signature(text)).all()
     assert simhash64(text) == simhash64(text)
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_merge_docs_fold_associative_property(data):
+    """merge_dict fold property (reference 05_merge_and_validate merge_dict):
+    folding any sequence of partial docs equals merging the folds of ANY
+    contiguous split — the exact property that legalizes the salted
+    two-phase document assembly."""
+    from medical_ocr_pipeline_ray.functions.docschema import (
+        doc_to_json, empty_doc, fold_docs, merge_docs)
+
+    names = ["", "Ana", "Ben", "Zoe"]
+    meds = [{"drug": d, "strength": s, "frequency": f}
+            for d in ("x", "y") for s in ("", "10 mg") for f in ("", "daily")]
+
+    def rand_doc():
+        return {
+            "patient": {"name": data.draw(st.sampled_from(names)),
+                        "age": data.draw(st.sampled_from(["", "9", "44"]))},
+            "doctor": {"name": data.draw(st.sampled_from(names))},
+            "medications": data.draw(st.lists(st.sampled_from(meds),
+                                              max_size=3)),
+            "tests": data.draw(st.lists(
+                st.sampled_from(["a", "b", "c"]), max_size=3)),
+        }
+
+    parts = [rand_doc() for _ in range(data.draw(st.integers(1, 6)))]
+    cut = data.draw(st.integers(0, len(parts)))
+    whole = fold_docs(parts)
+    split = merge_docs(fold_docs(parts[:cut]) if cut else empty_doc(),
+                       fold_docs(parts[cut:]) if cut < len(parts)
+                       else empty_doc())
+    assert doc_to_json(whole) == doc_to_json(split)
