@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": textops.doc_stats,
         "doc_lang_id": textops.doc_lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
+        "events_value_quantiles": textops.events_value_quantiles,
+        "approx_distinct_shingles": textops.approx_distinct_shingles,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": textops.DOC_STATS_SQL,
         "doc_lang_id": textops.DOC_LANG_SQL,
         "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,
+        "events_value_quantiles": textops.EVENTS_QUANTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "knn_brute_force": similarity.KNN_SQL,
     }

@@ -278,3 +278,32 @@ class TestAdaptiveLayout:
         text_rich, spans_rich, *_ = extract_pdf_payload(raw_rich)
         assert "rescued content line" not in text_rich
         assert not any(s["kind"] == "rescued" for s in spans_rich)
+
+
+class TestSketchOps:
+    def test_hll_accuracy_vs_exact(self, ray_session):
+        """HyperLogLog distinct-shingle estimate within 3x the standard
+        error of the exact count (p=12 -> ~1.6% stderr)."""
+        import pyarrow.parquet as pq
+        from medical_ocr_pipeline_ray.functions.fingerprint import shingles
+        from medical_ocr_pipeline_ray.pipelines.textops import \
+            approx_distinct_shingles
+        sf = "/root/testdata/sf0.001"
+        est = int(approx_distinct_shingles(sf)["approx_distinct"].iloc[0])
+        texts = pq.read_table(f"{sf}/documents.parquet",
+                              columns=["text"])["text"].to_pylist()
+        exact = len(set().union(*[shingles(t, 3) for t in texts]))
+        assert exact > 10_000            # meaningful cardinality
+        assert abs(est - exact) / exact < 0.05
+
+    def test_hll_merge_order_invariant(self):
+        import numpy as np
+        from medical_ocr_pipeline_ray.pipelines.textops import (
+            _hll_estimate, _hll_registers)
+        a = _hll_registers({f"tok{i}" for i in range(3000)})
+        b = _hll_registers({f"tok{i}" for i in range(2000, 6000)})
+        ab = np.maximum(a, b)
+        ba = np.maximum(b, a)
+        assert (ab == ba).all()
+        est = _hll_estimate(ab)
+        assert abs(est - 6000) / 6000 < 0.06

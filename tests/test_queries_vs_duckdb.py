@@ -65,6 +65,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "anti_join_customers_no_orders", "events_json_props", "doc_top_tokens",
     "q3_segment_revenue", "events_sliding_window",
     "events_asof_attribution", "lineitem_promo_revenue",
+    "events_value_quantiles",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -88,7 +89,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
                "qa_against_expected", "segment_turns",
                "topk_boilerplate_turns", "engine_block_stats",
                "qa_quality_gate", "best_variant_extraction",
-               "payload_coverage_grid"}
+               "payload_coverage_grid", "approx_distinct_shingles"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
 
