@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textops.doc_fingerprint,
         "events_value_quantiles": textops.events_value_quantiles,
         "approx_distinct_shingles": textops.approx_distinct_shingles,
+        "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,

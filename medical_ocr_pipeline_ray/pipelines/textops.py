@@ -221,3 +221,71 @@ def approx_distinct_shingles(sf_dir: str, k: int = 3):
             np.maximum(merged, np.asarray(r, dtype=np.int8), out=merged)
     return pd.DataFrame([{"approx_distinct": int(round(_hll_estimate(
         merged)))}])
+
+
+def doc_tfidf_top_terms(sf_dir: str, k: int = 5):
+    """Per-document top-k TF-IDF terms — the standard term-salience
+    feature a training pipeline uses for topic filtering / quality
+    weighting.  Two passes, both shuffle-light:
+
+    1. document frequency: per-batch DISTINCT-token counts (combiner) →
+       one groupby over the bounded vocabulary; the resulting DF map is
+       a small side → broadcast via ``ray.put``.
+    2. scoring: per-doc term frequencies computed per batch; idf =
+       ln((N+1)/(df+1)) + 1 (smoothed); per-doc top-k by
+       (score desc, term asc) — fully batch-local, no second exchange.
+
+    Rows-only for the driver (float libm differences make a bit-exact
+    SQL oracle brittle); exactness is pytest-verified against a pure
+    sequential recomputation."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.fingerprint import words
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(set(words(t)))
+        toks, counts = zip(*sorted(c.items())) if c else ((), ())
+        return pd.DataFrame({"token": list(toks),
+                             "df": np.array(counts, dtype=np.int64),
+                             "n_docs": np.full(len(toks), len(df),
+                                               dtype=np.int64)})
+
+    df_tbl = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("df", alias_name="df")) \
+        .to_pandas()
+    n_docs = int(rd.read_parquet(path, columns=["doc_id"]).count())
+    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
+
+    def score(df: pd.DataFrame, _ref=df_ref, _n=n_docs) -> pd.DataFrame:
+        from collections import Counter
+        dfm = ray.get(_ref)
+        ids, terms, scores, ranks = [], [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            ws = words(t)
+            if not ws:
+                continue
+            tf = Counter(ws)
+            total = len(ws)
+            scored = sorted(
+                ((-(c / total) * (np.log((_n + 1) / (dfm.get(w, 0) + 1))
+                                  + 1.0), w) for w, c in tf.items()))
+            for r, (neg, w) in enumerate(scored[:k], 1):
+                ids.append(int(did))
+                terms.append(w)
+                scores.append(round(-neg, 8))
+                ranks.append(r)
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "rank": np.array(ranks, dtype=np.int32),
+            "term": terms,
+            "tfidf": np.array(scores, dtype=np.float64)})
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -307,3 +307,37 @@ class TestSketchOps:
         assert (ab == ba).all()
         est = _hll_estimate(ab)
         assert abs(est - 6000) / 6000 < 0.06
+
+
+def test_tfidf_matches_sequential(ray_session):
+    """Distributed TF-IDF equals a pure sequential recomputation (same
+    smoothing, same tie-breaks) on every doc."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from medical_ocr_pipeline_ray.functions.fingerprint import words
+    from medical_ocr_pipeline_ray.pipelines.textops import doc_tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_tfidf_top_terms(sf).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    tbl = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas()
+    dfm: Counter = Counter()
+    for t in tbl["text"]:
+        dfm.update(set(words(t)))
+    n = len(tbl)
+    rows = []
+    for did, t in zip(tbl["doc_id"], tbl["text"]):
+        ws = words(t)
+        if not ws:
+            continue
+        tf = Counter(ws)
+        scored = sorted(
+            ((-(c / len(ws)) * (np.log((n + 1) / (dfm[w] + 1)) + 1.0), w)
+             for w, c in tf.items()))
+        for r, (neg, w) in enumerate(scored[:5], 1):
+            rows.append((int(did), r, w, round(-neg, 8)))
+    want = sorted(rows)
+    have = list(got.itertuples(index=False, name=None))
+    assert sorted(have) == want
