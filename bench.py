@@ -7,7 +7,7 @@ representative subset of catalogue queries over the sf tables.
 Usage:
     python bench.py                 # single run at $RAY_GRAFT_CPUS (def. 32)
     python bench.py --scaling       # fresh processes at BENCH_SCALE_LO and
-                                    # BENCH_SCALE_HI CPUs (default 4 and 16)
+                                    # BENCH_SCALE_HI CPUs (default 2 and 8)
                                     # on the same input → throughputs +
                                     # efficiency
 """
@@ -83,8 +83,8 @@ def run_once() -> dict:
     ctx.enable_progress_bars = False
 
     from medical_ocr_pipeline_ray.pipelines import catalogue
-    from medical_ocr_pipeline_ray.pipelines.extract_pipeline import (
-        read_turns, run_extraction)
+    from medical_ocr_pipeline_ray.pipelines.extract_pipeline import \
+        run_extraction
     from medical_ocr_pipeline_ray.sources.transcripts import transcripts_dir
     from medical_ocr_pipeline_ray.synth import tier_for_sf_dir
 

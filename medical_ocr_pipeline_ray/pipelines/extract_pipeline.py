@@ -38,7 +38,6 @@ import ray.data as rd
 
 from ..config import (DEFAULT_EXTRACT, DEFAULT_PIPELINE, ExtractConfig,
                       PipelineConfig)
-from ..stages.assemble import assemble_conversations
 from ..stages.extract_stage import (HeavyExtractor, extract_cheap_batch,
                                     extract_full_batch)
 from ..state.manifest import (commit_partition, load_manifest,
