@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_coverage_grid": qa.payload_coverage_grid,
         # segment assembly (SURVEY L5)
         "segment_turns": segments.segment_turns,
+        # entity annotation (M10 analogue: span-tagged, text untouched)
+        "annotate_turn_entities": segments.annotate_turn_entities,
         # schema-document assembly (reference stages 04/05 merge_dict fold;
         # nested struct / list-of-struct output)
         "assemble_documents": documents.assemble_documents,

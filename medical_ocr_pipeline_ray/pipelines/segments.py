@@ -82,3 +82,41 @@ def segment_batch(batch: pa.Table) -> pa.Table:
 def segment_turns(sf_dir: str):
     turns = build_turns_pipeline(read_transcripts(tier_for_sf_dir(sf_dir)))
     return turns.map_batches(segment_batch, batch_format="pyarrow")
+
+
+def annotate_turn_entities(sf_dir: str):
+    """Entity annotations over the extracted turns (reference M10
+    scispacy/quickumls annotate — deterministic analogue, text never
+    mutated): one row per entity occurrence with span offsets into
+    text_extracted.  Stateless batch map; swap functions/entities._match
+    for a model inside an actor pool when real NER is available."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.entities import annotate_entities
+    from ..sources.transcripts import read_transcripts
+    from ..synth import tier_for_sf_dir
+    from .extract_pipeline import build_turns_pipeline
+
+    turns = build_turns_pipeline(read_transcripts(tier_for_sf_dir(sf_dir)))
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        convs, tix, starts, ends, texts, kinds = [], [], [], [], [], []
+        for conv, t, body in zip(df["conv_id"], df["turn_idx"],
+                                 df["text_extracted"]):
+            for e in annotate_entities(body or ""):
+                convs.append(conv)
+                tix.append(int(t))
+                starts.append(e["start"])
+                ends.append(e["end"])
+                texts.append(e["text"])
+                kinds.append(e["kind"])
+        return pd.DataFrame({
+            "conv_id": convs,
+            "turn_idx": np.array(tix, dtype=np.int32),
+            "ent_start": np.array(starts, dtype=np.int32),
+            "ent_end": np.array(ends, dtype=np.int32),
+            "ent_text": texts,
+            "ent_kind": kinds})
+
+    return turns.map_batches(annotate, batch_format="pandas")

@@ -232,3 +232,33 @@ def test_export_qa_report_html(ray_session, tmp_path):
     html = open(path).read()
     assert "<table>" in html and "partitions" in html
     assert "tool_pdf_payload" in html
+
+
+def test_annotate_turn_entities(ray_session):
+    """M10 analogue: entity spans index into the extracted text, planted
+    drugs/doses/tests from the form turns are recovered, text untouched."""
+    from medical_ocr_pipeline_ray.functions.entities import annotate_entities
+    from medical_ocr_pipeline_ray.pipelines.segments import \
+        annotate_turn_entities
+    from medical_ocr_pipeline_ray.synth import TIERS, gen_transcripts
+    from medical_ocr_pipeline_ray.functions.extract import extract_turn
+
+    got = annotate_turn_entities("/root/testdata/sf0.001").to_pandas()
+    assert {"drug", "dose", "test"} <= set(got["ent_kind"])
+    # spans really index the extracted text
+    n_convs, lo, hi, skew, _ = TIERS["t1"]
+    rows = {(r["conv_id"], r["turn_idx"]): r
+            for r in gen_transcripts(n_convs, seed=42, min_turns=lo,
+                                     max_turns=hi, skew_conv_rows=skew)}
+    sample = got.sort_values(["conv_id", "turn_idx"]).head(200)
+    for _, e in sample.iterrows():
+        r = rows[(e["conv_id"], e["turn_idx"])]
+        body = extract_turn(r["text"], r["tool"]).text_extracted
+        assert body[e["ent_start"]:e["ent_end"]] == e["ent_text"]
+    # parity with the pure function on one known form turn
+    ents = annotate_entities("Medication: metformin 500 mg twice daily\n"
+                             "Test: lipid panel")
+    kinds = [(e["kind"], e["text"]) for e in ents]
+    assert ("drug", "metformin") in kinds
+    assert ("dose", "500 mg") in kinds
+    assert ("test", "lipid panel") in kinds

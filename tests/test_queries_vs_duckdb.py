@@ -90,7 +90,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
                "topk_boilerplate_turns", "engine_block_stats",
                "qa_quality_gate", "best_variant_extraction",
                "payload_coverage_grid", "approx_distinct_shingles",
-               "doc_tfidf_top_terms"}
+               "doc_tfidf_top_terms", "annotate_turn_entities"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
 
