@@ -289,3 +289,54 @@ def doc_tfidf_top_terms(sf_dir: str, k: int = 5):
             "tfidf": np.array(scores, dtype=np.float64)})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def events_value_quantiles_by_type(sf_dir: str):
+    """GROUPED exact discrete quantiles (p50/p90/p99 of value per
+    event_type) — same no-sort counting pattern as
+    ``events_value_quantiles``, with (type, cents) histogram combiners;
+    the cumulative pick runs vectorized per type over the bounded
+    histogram."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(dtype=np.float64) * 100) \
+            .astype(np.int64)
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "cents": cents})
+        g = t.groupby(["event_type", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    hist = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n")) \
+        .sort(["event_type", "cents"]).to_pandas()
+    qs = (0.5, 0.9, 0.99)
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            idx = int(np.searchsorted(cum, rank))
+            rows.append({"event_type": etype, "q": q,
+                         "value": float(g["cents"].iloc[idx]) / 100.0})
+    return pd.DataFrame(rows)
+
+
+EVENTS_QUANTILES_BY_TYPE_SQL = """
+SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+       quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) / 100.0 AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.9 AS DOUBLE) AS q,
+       quantile_disc(CAST(round(value*100) AS BIGINT), 0.9) / 100.0 AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(0.99 AS DOUBLE) AS q,
+       quantile_disc(CAST(round(value*100) AS BIGINT), 0.99) / 100.0 AS value
+FROM events GROUP BY event_type
+"""

@@ -65,7 +65,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "anti_join_customers_no_orders", "events_json_props", "doc_top_tokens",
     "q3_segment_revenue", "events_sliding_window",
     "events_asof_attribution", "lineitem_promo_revenue",
-    "events_value_quantiles",
+    "events_value_quantiles", "events_value_quantiles_by_type",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
