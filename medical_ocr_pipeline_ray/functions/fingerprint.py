@@ -60,20 +60,27 @@ def _stable_u64(s: str) -> int:
 
 _MASK64 = (1 << 64) - 1
 _WORD_HASH_CACHE: dict[str, int] = {}   # per-process (actor/worker) cache
+_WORD_CACHE_MAX_BYTES = 64 * 1024 * 1024
+_word_cache_bytes = 0
 
 
 def _word_hashes(ws: list[str]) -> np.ndarray:
     """blake2b u64 per word, memoized per process (corpus vocabularies are
     heavy-tailed, so the cache converts per-shingle hashing into a dict
-    probe for the bulk of tokens)."""
+    probe for the bulk of tokens).  Bounded by APPROXIMATE BYTES (key
+    length + ~90 B dict/str/int overhead per entry), not entry count, so a
+    long-lived worker on a pathological vocabulary (long tokens) cannot
+    accumulate unbounded heap."""
+    global _word_cache_bytes
     c = _WORD_HASH_CACHE
     out = np.empty(len(ws), dtype=np.uint64)
     for i, w in enumerate(ws):
         h = c.get(w)
         if h is None:
             h = _stable_u64(w)
-            if len(c) < 4_000_000:
+            if _word_cache_bytes < _WORD_CACHE_MAX_BYTES:
                 c[w] = h
+                _word_cache_bytes += len(w) + 90
         out[i] = h
     return out
 

@@ -172,14 +172,17 @@ def qa_against_expected(sf_dir: str):
 
     import zlib
 
+    from ..partitioning import buckets_for
+    n_buckets = buckets_for()
+
     def to_common(df: pd.DataFrame, col: str, side: int) -> pd.DataFrame:
         # format-agnostic bucket key (crc32, like stages/assemble._add_keys)
         # — never parse structure out of an id string
         crc = np.fromiter((zlib.crc32(c.encode()) for c in df["conv_id"]),
                           dtype=np.int64, count=len(df))
         return pd.DataFrame({
-            "bucket": ((df["turn_idx"].astype(np.int64) * 31 + crc) % 32)
-            .astype(np.int32),
+            "bucket": ((df["turn_idx"].astype(np.int64) * 31 + crc)
+                       % n_buckets).astype(np.int32),
             "conv_id": df["conv_id"],
             "turn_idx": df["turn_idx"].astype(np.int32),
             "text": df[col].fillna(""),

@@ -29,6 +29,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..partitioning import buckets_for, table_bytes
+
 
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
@@ -367,14 +369,13 @@ FROM x GROUP BY event_type, window_start
 """
 
 
-# default partition counts for the bucketed exchanges; size P so one
-# bucket's slice (~data/P) fits a task at your corpus scale (a 100 TB run
-# wants P ~ bytes/256 MB, not 32) — every operator takes it as an argument
-_SESSION_BUCKETS = 32
+# Partition counts for every bucketed exchange come from
+# partitioning.buckets_for (P ~ bytes/256 MB at corpus scale, 2xCPU floor
+# here); operators still take n_buckets as an argument for tests.
 
 
 def events_sessions(sf_dir: str, gap_seconds: int = 1800,
-                   n_buckets: int = _SESSION_BUCKETS):
+                   n_buckets: int | None = None):
     """Per-user session count with a 30-min inactivity gap.
 
     Bucketed fold (stages/assemble.py pattern): group by the COARSE key
@@ -384,6 +385,7 @@ def events_sessions(sf_dir: str, gap_seconds: int = 1800,
     vectorized over the whole sorted bucket with numpy run boundaries."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["user_id", "event_id", "ts"])
+    n_buckets = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -453,9 +455,6 @@ FROM embeddings GROUP BY label
 # pairwise inside map_groups — the portable partitioned-hash-join pattern)
 # ---------------------------------------------------------------------------
 
-_JOIN_BUCKETS = 32
-
-
 def join_lineitem_orders_priority(sf_dir: str):
     """Revenue per o_orderpriority: lineitem ⋈ orders on orderkey, both
     sides hash-bucketed on the key; per-bucket pandas merge; partial
@@ -465,6 +464,7 @@ def join_lineitem_orders_priority(sf_dir: str):
                                   "l_discount"])
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"])
+    n_buckets = buckets_for(table_bytes(sf_dir, "lineitem"))
 
     # both key maps emit the SAME column set (missing side filled with a
     # typed placeholder) so the union is schema-stable — no Ray schema
@@ -474,7 +474,7 @@ def join_lineitem_orders_priority(sf_dir: str):
         price = df["l_extendedprice"].to_numpy()
         disc = df["l_discount"].to_numpy()
         return pd.DataFrame({
-            "bucket": (df["l_orderkey"].to_numpy() % _JOIN_BUCKETS)
+            "bucket": (df["l_orderkey"].to_numpy() % n_buckets)
             .astype(np.int32),
             "orderkey": df["l_orderkey"].to_numpy(),
             "rev_u": _micros(price * (1.0 - disc)),
@@ -483,7 +483,7 @@ def join_lineitem_orders_priority(sf_dir: str):
 
     def key_orders(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "bucket": (df["o_orderkey"].to_numpy() % _JOIN_BUCKETS)
+            "bucket": (df["o_orderkey"].to_numpy() % n_buckets)
             .astype(np.int32),
             "orderkey": df["o_orderkey"].to_numpy(),
             "rev_u": np.zeros(len(df), dtype=np.int64),
@@ -542,10 +542,11 @@ def _semi_anti_join(sf_dir: str, anti: bool):
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name"])
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    n_buckets = buckets_for(table_bytes(sf_dir, "orders"))
 
     def key_cust(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "bucket": (df["c_custkey"].to_numpy() % _JOIN_BUCKETS)
+            "bucket": (df["c_custkey"].to_numpy() % n_buckets)
             .astype(np.int32),
             "custkey": df["c_custkey"].to_numpy(),
             "c_name": df["c_name"].astype(object),
@@ -554,7 +555,7 @@ def _semi_anti_join(sf_dir: str, anti: bool):
     def key_orders(df: pd.DataFrame) -> pd.DataFrame:
         ks = pd.unique(df["o_custkey"])   # batch-level combiner: the
         return pd.DataFrame({             # shuffle moves distinct keys only
-            "bucket": (ks % _JOIN_BUCKETS).astype(np.int32),
+            "bucket": (ks % n_buckets).astype(np.int32),
             "custkey": ks,
             "c_name": np.full(len(ks), "", dtype=object),
             "side": np.ones(len(ks), dtype=np.int8)})
@@ -698,7 +699,7 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     - orders ⋈ lineitem is a fact-fact BUCKETED hash join on orderkey
       (same pattern as join_lineitem_orders_priority): orders filtered to
       the segment in-flight, lineitem pre-aggregated per (orderkey) per
-      batch, both sides shuffled by ``orderkey % 64`` only as slim
+      batch, both sides shuffled by ``orderkey % P`` only as slim
       (bucket, orderkey, int64) rows — the round-1 version built a
       driver-side dict of every BUILDING order (driver OOM at 100 TB).
     - per-bucket fine aggregation is vectorized pandas; per-bucket local
@@ -708,6 +709,7 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
         filters=[("c_mktsegment", "==", segment)])
     seg_ref = ray.put(set(cust["c_custkey"].to_pylist()))
+    n_buckets = buckets_for(table_bytes(sf_dir, "lineitem"))
 
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
@@ -718,7 +720,8 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
         df = df[df["o_custkey"].isin(seg_keys)]
         date_s = (df["o_orderdate"].astype("int64") // 1_000_000).to_numpy()
         return pd.DataFrame({
-            "bucket": (df["o_orderkey"].to_numpy() % 64).astype(np.int32),
+            "bucket": (df["o_orderkey"].to_numpy() % n_buckets)
+            .astype(np.int32),
             "orderkey": df["o_orderkey"].to_numpy(),
             "o_date_s": date_s.astype(np.int64),
             "rev_u": np.zeros(len(df), dtype=np.int64),
@@ -736,7 +739,8 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
             "rev_u": _micros(price * (1.0 - disc))})
         t = t.groupby("orderkey", as_index=False).sum()   # batch combiner
         return pd.DataFrame({
-            "bucket": (t["orderkey"].to_numpy() % 64).astype(np.int32),
+            "bucket": (t["orderkey"].to_numpy() % n_buckets)
+            .astype(np.int32),
             "orderkey": t["orderkey"].to_numpy(),
             "o_date_s": np.zeros(len(t), dtype=np.int64),
             "rev_u": t["rev_u"].to_numpy().astype(np.int64),
@@ -792,7 +796,7 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 def events_asof_attribution(sf_dir: str, left_type: str = "purchase",
                             right_type: str = "view",
-                            n_buckets: int = _SESSION_BUCKETS):
+                            n_buckets: int | None = None):
     """For every ``purchase`` event: the latest ``view`` event of the same
     user at-or-before the purchase time (backward as-of, exact matches
     allowed — mirrors DuckDB ``ASOF LEFT JOIN ... ON ts >= ts``).
@@ -800,6 +804,7 @@ def events_asof_attribution(sf_dir: str, left_type: str = "purchase",
     the hash gate)."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"].isin([left_type, right_type])]
