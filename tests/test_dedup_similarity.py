@@ -263,3 +263,28 @@ def test_knn_ivf_recall_vs_brute(ray_session):
     # the adversarial case for coarse quantization
     assert recall >= 0.3
     assert brute["vec_id"].iloc[0] == approx["vec_id"].iloc[0]  # query itself
+
+def test_embedding_near_dup_hot_bucket_star_pairing(ray_session):
+    """A degenerate low-entropy embedding region (all vectors identical →
+    ONE hot LSH bucket larger than MAX_BUCKET) must complete with a
+    LINEAR number of pairs (star pairing vs the min-id representative),
+    not an O(n²) per-bucket quadratic, and nothing silently dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from medical_ocr_pipeline_ray.pipelines.dedup import MAX_BUCKET
+    from medical_ocr_pipeline_ray.pipelines.similarity import near_dup_pairs
+
+    n = MAX_BUCKET + 36
+    dim = 16
+    v = np.ones(dim) / np.sqrt(dim)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.copy() for _ in range(n)]})
+    out = near_dup_pairs(rd.from_pandas(df), threshold=0.99,
+                         n_planes=10, dim=dim, n_buckets=8).to_pandas()
+    got = set(zip(out["vec_a"].astype(int), out["vec_b"].astype(int)))
+    # every member linked to the representative (doc 0) ...
+    assert {(0, b) for b in range(1, n)} <= got
+    # ... and ONLY star pairs: candidate count is linear in bucket size
+    assert len(out) == n - 1
+    assert (out["cosine"] >= 0.99).all()
