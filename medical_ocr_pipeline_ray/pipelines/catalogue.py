@@ -82,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_props": relational.events_json_props,
         "doc_top_tokens": relational.doc_top_tokens,
         "q3_segment_revenue": relational.q3_segment_revenue,
+        # windowed ranking (row_number analogue) + exact distinct
+        "events_user_rank": relational.events_user_rank,
+        "events_distinct_users_by_type":
+            relational.events_distinct_users_by_type,
         # QA / stage metrics (SURVEY §2.5, §5)
         "qa_turn_metrics": qa.qa_turn_metrics,
         "qa_content_accounting": qa.qa_content_accounting,
@@ -109,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.events_value_quantiles_by_type,
         "approx_distinct_shingles": textops.approx_distinct_shingles,
         "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
+        # span-offset analogue with a SQL oracle (entity spans over turns
+        # cannot be oracled — the driver's DuckDB sees only the sf tables)
+        "doc_term_first_pos": textops.doc_term_first_pos,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -117,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
+        "knn_range_search": similarity.knn_range_search,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "embedding_near_dup": similarity.embedding_near_dup,
@@ -155,5 +163,11 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles_by_type":
             textops.EVENTS_QUANTILES_BY_TYPE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "knn_brute_force": similarity.KNN_SQL,
+        "knn_range_search": similarity.KNN_RANGE_SQL,
+        "doc_term_first_pos": textops.DOC_TERM_FIRST_POS_SQL,
+        "events_user_rank": relational.EVENTS_USER_RANK_SQL,
+        "events_distinct_users_by_type":
+            relational.EVENTS_DISTINCT_USERS_SQL,
     }

@@ -282,11 +282,15 @@ def _cached_simhash(text: str) -> int:
 
 
 def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
-                  threshold: float) -> pd.DataFrame:
+                  threshold: float,
+                  round_digits: int | None = 6) -> pd.DataFrame:
     """Stateless exact verification on (text_a, text_b) rows.  Sketches
     are memoized per worker PROCESS (a doc appears in many candidate
     pairs; Ray worker processes persist across tasks, so the cache gives
-    actor-style amortization without an actor pool)."""
+    actor-style amortization without an actor pool).
+    ``round_digits=None`` emits the raw IEEE quotient — len/len double
+    division is bit-identical across engines, which is what the
+    SQL-oracled operators need (rounding modes are not)."""
     out_a, out_b, out_s = [], [], []
     for a, b, ta, tb in zip(df["doc_a"], df["doc_b"],
                             df["text_a"], df["text_b"]):
@@ -305,14 +309,16 @@ def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
         if ok:
             out_a.append(int(a))
             out_b.append(int(b))
-            out_s.append(round(float(s), 6))
+            out_s.append(round(float(s), round_digits)
+                         if round_digits is not None else float(s))
     return pd.DataFrame({
         "doc_a": np.array(out_a, dtype=np.int64),
         "doc_b": np.array(out_b, dtype=np.int64),
         "similarity": np.array(out_s, dtype=np.float64)})
 
 
-def _verify(cands, sf_dir: str, mode: str, k: int, threshold: float):
+def _verify(cands, sf_dir: str, mode: str, k: int, threshold: float,
+            round_digits: int | None = 6):
     """Candidate pairs → verified pairs via the two-stage partitioned
     text join + stateless exact check.  Pair dedup rides the first join
     (all copies of a pair share doc_a → same bucket), so no extra
@@ -324,7 +330,8 @@ def _verify(cands, sf_dir: str, mode: str, k: int, threshold: float):
     with_ab = _attach_text(with_a, augmented_docs(sf_dir), "b", n_buckets=p)
     return with_ab.map_batches(
         _verify_pairs, batch_format="pandas",
-        fn_kwargs={"mode": mode, "k": k, "threshold": threshold})
+        fn_kwargs={"mode": mode, "k": k, "threshold": threshold,
+                   "round_digits": round_digits})
 
 
 # ---------------------------------------------------------------------------
@@ -392,7 +399,47 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
     # length blocking is the quadratic-within-block BASELINE variant (the
     # LSH operators are the scale path) → allow big buckets here
     cands = _pairs_from_buckets(keyed, "len_bucket", max_bucket=4096)
-    return _verify(cands, sf_dir, "jaccard", k, threshold)
+    # raw IEEE similarity (no rounding): this operator carries an exact
+    # DuckDB oracle and len/len double division matches bit-for-bit
+    return _verify(cands, sf_dir, "jaccard", k, threshold,
+                   round_digits=None)
+
+
+# Exact oracle: two docs share a probe bucket iff |len//16 diff| <= 1
+# (each doc probes buckets b and b+1); the word-bigram Jaccard is the
+# same distinct-shingle ratio as functions.fingerprint.shingles(k=2),
+# and len/len BIGINT->DOUBLE division is bit-identical to Python's.
+DEDUP_NGRAM_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id % 37 = 0),
+tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM aug),
+sh AS (
+  SELECT doc_id, len(ws) // 16 AS lb,
+         CASE WHEN len(ws) >= 2 THEN
+                list_distinct(list_transform(range(1, len(ws)),
+                              i -> ws[i] || ' ' || ws[i+1]))
+              WHEN len(ws) = 1 THEN [ws[1]]
+              ELSE []::VARCHAR[] END AS s
+  FROM tok)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+              WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) END
+           AS similarity
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND abs(a.lb - b.lb) <= 1)
+WHERE similarity >= 0.8
+"""
 
 
 # ---------------------------------------------------------------------------

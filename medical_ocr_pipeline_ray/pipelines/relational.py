@@ -949,3 +949,91 @@ SELECT CAST(floor(epoch(lo)) AS BIGINT) AS window_start_s,
 FROM iv JOIN lineitem ON l_shipdate >= lo AND l_shipdate < hi
 GROUP BY lo
 """
+
+
+# ---------------------------------------------------------------------------
+# Windowed ranking: top-k events per user (row_number analogue).  The
+# training-data shape: per-domain / per-source top documents by score.
+# Bucketed fold, same coarse-key pattern as events_sessions — one Ray
+# group per bucket, vectorized pandas rank inside.
+# ---------------------------------------------------------------------------
+
+def events_user_rank(sf_dir: str, k: int = 3,
+                     n_buckets: int | None = None):
+    """Top-``k`` events per user by (value desc, event_id asc) with their
+    rank — ``row_number() OVER (PARTITION BY user_id ORDER BY ...)``
+    without a total sort: events shuffle once by ``user_id % P``; the
+    per-user sort+head(k) is a vectorized pandas pass over each bucket.
+    ``value`` passes through untouched (bit-identical to the oracle)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+    n_buckets = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % n_buckets)
+            .astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "value": df["value"].to_numpy()})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def rank_bucket(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("user_id", sort=False).head(_k)
+        rnk = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy().astype(np.int64),
+            "event_id": g["event_id"].to_numpy().astype(np.int64),
+            "value": g["value"].to_numpy(),
+            "rnk": rnk.astype(np.int64)})
+
+    return keyed.groupby("bucket").map_groups(rank_bucket,
+                                              batch_format="pandas")
+
+
+EVENTS_USER_RANK_SQL = """
+SELECT user_id, event_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+FROM events
+QUALIFY rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed COUNT(DISTINCT): two-level exchange — batch-local
+# dedup (combiner) → groupby(key, member) collapses global duplicates →
+# per-key count of the now-distinct pairs.  The exact companion to the
+# HLL sketch in textops.approx_distinct_shingles.
+# ---------------------------------------------------------------------------
+
+def events_distinct_users_by_type(sf_dir: str):
+    """``count(DISTINCT user_id)`` per event_type.  The shuffle moves
+    batch-deduped (event_type, user_id) pairs; the second groupby sees
+    one row per distinct pair, so its Count per type IS the distinct
+    count.  No driver-side sets at any point."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    pairs = ds.map_batches(distinct_partial, batch_format="pandas") \
+        .groupby(["event_type", "user_id"]).aggregate(
+            Count(alias_name="_c"))
+
+    def one_per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "n": np.ones(len(df), dtype=np.int64)})
+
+    return pairs.map_batches(one_per_pair, batch_format="pandas") \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n_users"))
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""

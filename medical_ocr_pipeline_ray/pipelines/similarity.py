@@ -360,3 +360,38 @@ def knn_ivf(sf_dir: str, k: int = 10, n_centroids: int = 16,
     return pd.DataFrame({
         "rank": np.arange(1, len(top) + 1, dtype=np.int64),
         "vec_id": top["vec_id"].astype(np.int64)})
+
+
+def knn_range_search(sf_dir: str, threshold: float = 0.2):
+    """RANGE similarity query: every vector with cosine(query, v) >=
+    ``threshold`` (the radius-search companion to top-k).  Per-batch
+    vectorized matmul against the broadcast query, batch-local filter —
+    embarrassingly parallel, no shuffle, result bounded by the matching
+    set.  Emits vec_id only: the driver's DuckDB oracle recomputes the
+    cosine with a different summation order (list_cosine_similarity), so
+    MEMBERSHIP at a threshold far from any sample is engine-stable while
+    raw cosine bits are not."""
+    q = _query_vec(sf_dir)
+    qn = np.linalg.norm(q)
+    qref = ray.put(q)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def in_range(df: pd.DataFrame, _qref=qref, _qn=qn,
+                 _thr=threshold) -> pd.DataFrame:
+        e = _emb_matrix(df)
+        qv = ray.get(_qref)
+        sims = (e @ qv) / (np.linalg.norm(e, axis=1) * _qn)
+        keep = sims >= _thr
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy()[keep].astype(np.int64)})
+
+    return ds.map_batches(in_range, batch_format="pandas")
+
+
+KNN_RANGE_SQL = """
+SELECT vec_id FROM embeddings
+WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+         WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) >= 0.2
+"""

@@ -378,3 +378,44 @@ SELECT event_type, CAST(0.99 AS DOUBLE) AS q,
        quantile_disc(CAST(round(value*100) AS BIGINT), 0.99) / 100.0 AS value
 FROM events GROUP BY event_type
 """
+
+
+# lexicon for the span-offset analogue below — terms that actually occur
+# in the synth documents corpus (query-plan word salad)
+SPAN_TERMS = ("merge", "window", "stream", "filter",
+              "customer", "spark", "batch", "query")
+
+
+def doc_term_first_pos(sf_dir: str, terms=SPAN_TERMS):
+    """First-occurrence OFFSET of each lexicon term per document — the
+    SQL-oracle-able projection of the engine's span-annotation contract
+    (entity spans over turns, segments.annotate_turn_entities, cannot be
+    oracled because the driver's DuckDB session only sees the sf tables;
+    this operator proves the same offset semantics on the ``documents``
+    view).  Substring semantics, 1-based positions (DuckDB ``strpos``),
+    absent terms omitted.  Stateless vectorized batch map: one
+    ``Series.str.find`` pass per lexicon term, no shuffle."""
+    import ray.data as rd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for term in terms:
+            pos = df["text"].str.find(term).to_numpy() + 1   # 1-based
+            hit = pos > 0
+            outs.append(pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy()[hit].astype(np.int64),
+                "term": np.full(int(hit.sum()), term, dtype=object),
+                "pos": pos[hit].astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "term": pd.Series([], dtype=object),
+                          "pos": pd.Series([], dtype=np.int64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_TERM_FIRST_POS_SQL = f"""
+SELECT doc_id, term, CAST(strpos(text, term) AS BIGINT) AS pos
+FROM documents, (SELECT unnest([{_sql_list(SPAN_TERMS)}]) AS term)
+WHERE strpos(text, term) > 0
+"""

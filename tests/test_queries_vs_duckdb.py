@@ -66,6 +66,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "q3_segment_revenue", "events_sliding_window",
     "events_asof_attribution", "lineitem_promo_revenue",
     "events_value_quantiles", "events_value_quantiles_by_type",
+    "dedup_ngram_jaccard", "doc_term_first_pos", "events_user_rank",
+    "events_distinct_users_by_type", "knn_range_search",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -81,7 +83,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
     non_sql = {"extract_turns", "assemble_conversations",
                "assemble_documents", "dedup_minhash_lsh",
-               "dedup_simhash", "dedup_ngram_jaccard", "dedup_clusters",
+               "dedup_simhash", "dedup_clusters",
                "knn_lsh", "knn_ivf",
                "embedding_near_dup", "multimodal_features",
                "multimodal_resize", "multimodal_frame_sample", "sample_events",
