@@ -101,6 +101,19 @@ class PipelineConfig:
     heavy_concurrency: int | None = None   # None → size to the cluster CPUs
     heavy_num_cpus: float = 1.0
     salt_span: int = 512
+    # BYTE-budget salting (the reference's actual guard — ``chunks_by_size``
+    # splits assembled docs at ~90k chars, notebooks/04_json_extraction
+    # .ipynb:~89; turn-count salting alone lets a mega-conversation of
+    # mega-turns land one giant salt group).  Conversations whose total
+    # content_chars exceed the budget get per-chunk salts from a slim
+    # boundary pre-pass (stages/assemble.find_salt_boundaries); everyone
+    # else keeps the salt-0 fast path.  0 disables the pre-pass.
+    salt_byte_budget: int = 262_144
+    # driver-side cap on how many mega-conversations get byte boundaries
+    # per run (the skew tail is bounded by definition; beyond the cap a
+    # conversation falls back to turn-span salting and the overflow is
+    # LOGGED — no silent caps)
+    mega_conv_cap: int = 100_000
     # assembly fan-in: conversations are folded per hash bucket (vectorized),
     # never one Ray group per conversation; choose so bucket ≈ 256 MB of
     # slim turn rows at your corpus size (stages/assemble.py)

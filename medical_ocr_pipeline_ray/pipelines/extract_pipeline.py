@@ -226,14 +226,21 @@ def run_assembly(out_dir: str,
     # the widest column — never leaves the parquet files)
     turns = read_turns(out_dir, columns=[
         "conv_id", "turn_idx", "text_extracted", "content_chars"])
-    from ..stages.assemble import _add_keys, fold_or_finalize, merge_partials
+    from ..stages.assemble import (_add_keys, fold_or_finalize,
+                                   merge_partials, salt_boundaries_ref)
+    # byte-budget pre-pass (slim columns only): mega-conversations get
+    # per-chunk salts so no salt group exceeds ~salt_byte_budget bytes
+    bref = salt_boundaries_ref(
+        read_turns(out_dir, columns=["conv_id", "turn_idx",
+                                     "content_chars"]), pcfg)
     keyed = turns.map_batches(
         _add_keys, batch_format="pyarrow", batch_size=pcfg.batch_size,
         fn_kwargs={"buckets": pcfg.assembly_buckets,
-                   "salt_span": pcfg.salt_span})
+                   "salt_span": pcfg.salt_span,
+                   "boundaries": bref})
     folded = keyed.groupby(["bucket", "salt"]).map_groups(
         fold_or_finalize, batch_format="pandas",
-        fn_kwargs={"salt_span": pcfg.salt_span})
+        fn_kwargs={"salt_span": pcfg.salt_span, "boundaries": bref})
     folded.write_parquet(base_dir, compression="zstd")
 
     # tiny second pass: only multi-salt partials (predicate pushdown)

@@ -44,18 +44,131 @@ CONV_SCHEMA = pa.schema([
 ])
 
 
-def _add_keys(batch: pa.Table, buckets: int, salt_span: int) -> pa.Table:
+def _resolve_boundaries(boundaries) -> dict:
+    """fn_kwargs carry either a plain dict (tests) or a ``ray.put`` ref
+    (pipelines — plasma-cached per worker instead of re-pickled per task)."""
+    if boundaries is None:
+        return {}
+    if isinstance(boundaries, dict):
+        return boundaries
+    import ray
+    return ray.get(boundaries)
+
+
+def _add_keys(batch: pa.Table, buckets: int, salt_span: int,
+              boundaries=None) -> pa.Table:
+    """bucket = crc32(conv_id) % P; salt = BYTE-budget chunk index for
+    mega-conversations (from the ``find_salt_boundaries`` pre-pass map),
+    ``turn_idx // salt_span`` otherwise.  Byte salts are monotone in
+    turn_idx with contiguous preimages, so partials merge by min_turn
+    exactly like span salts."""
     conv = batch["conv_id"].to_pylist()
     bucket = np.fromiter((zlib.crc32(c.encode()) % buckets for c in conv),
                          dtype=np.int32, count=len(conv))
-    salt = (batch["turn_idx"].to_numpy(zero_copy_only=False) //
-            salt_span).astype(np.int32)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    salt = (turn // salt_span).astype(np.int32)
+    bmap = _resolve_boundaries(boundaries)
+    if bmap:
+        for i, c in enumerate(conv):
+            b = bmap.get(c)
+            if b is not None:
+                salt[i] = np.searchsorted(b, turn[i], side="right") - 1
     out = batch
     for name, arr in (("bucket", bucket), ("salt", salt)):
         if name in out.column_names:
             out = out.drop_columns([name])
         out = out.append_column(name, pa.array(arr))
     return out
+
+
+def find_salt_boundaries(turns_slim, budget: int, cap: int = 100_000,
+                         n_buckets: int | None = None) -> dict:
+    """BYTE-budget chunk boundaries for mega-conversations — the
+    reference's ``chunks_by_size`` guard (~90k chars,
+    notebooks/04_json_extraction.ipynb:~89) as a slim pre-pass.
+
+    Turn-count salting alone cannot bound salt-group BYTES (a
+    mega-conversation of mega-turns puts ``salt_span × turn_bytes`` in one
+    group); a byte salt must be in the shuffle key, and the prefix sums it
+    needs cannot be computed row-locally.  So:
+
+    1. per-conversation totals via map-side combiner + one slim groupby
+       (conv_id, int64 — text never read);
+    2. conversations with total > budget (the skew tail, bounded by
+       definition) keep their per-turn rows for a bucketed prefix-sum
+       fold emitting one boundary-list row per conversation;
+    3. the resulting {conv_id: chunk-start turn indices} dict is small
+       (|mega| rows) and is broadcast via ``ray.put``.
+
+    ``cap`` bounds the driver-side dict; overflow conversations fall back
+    to turn-span salting and the count is LOGGED (no silent caps).  Chunk
+    rule: turn t belongs to chunk ``prefix_chars_before_t // budget`` —
+    monotone in t, so chunks are contiguous turn ranges."""
+    import logging
+
+    from ray.data.aggregate import Sum
+
+    def partial_tot(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("conv_id", as_index=False)["content_chars"].sum()
+
+    totals = turns_slim.map_batches(partial_tot, batch_format="pandas") \
+        .groupby("conv_id").aggregate(
+            Sum("content_chars", alias_name="total"))
+
+    def only_mega(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["total"] > budget][["conv_id", "total"]]
+
+    mega = totals.map_batches(only_mega, batch_format="pandas").to_pandas()
+    if mega.empty:
+        return {}
+    if len(mega) > cap:
+        logging.getLogger(__name__).warning(
+            "find_salt_boundaries: %d mega-conversations exceed the cap "
+            "of %d; the %d largest get byte salts, the rest fall back to "
+            "turn-span salting", len(mega), cap, cap)
+        mega = mega.sort_values(["total", "conv_id"],
+                                ascending=[False, True]).head(cap)
+    import ray
+    mega_ref = ray.put(frozenset(mega["conv_id"]))
+
+    def pick(df: pd.DataFrame, _ref=mega_ref) -> pd.DataFrame:
+        import ray as _r
+        keep = df["conv_id"].isin(_r.get(_ref))
+        return df.loc[keep, ["conv_id", "turn_idx", "content_chars"]]
+
+    picked = turns_slim.map_batches(pick, batch_format="pandas")
+    p = n_buckets or 64
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        cb = np.fromiter(
+            (zlib.crc32(c.encode()) % p for c in df["conv_id"]),
+            dtype=np.int64, count=len(df))
+        return df.assign(bucket=cb.astype(np.int32))
+
+    def bounds(g: pd.DataFrame, _budget=budget) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        turn = g["turn_idx"].to_numpy()
+        chars = g["content_chars"].to_numpy(dtype=np.int64)
+        oc, ob = [], []
+        for s, e in _runs(conv):
+            prefix = np.concatenate(
+                ([0], np.cumsum(chars[s:e - 1] if e - s > 1 else
+                                chars[s:s])))
+            salt = prefix // _budget
+            change = np.flatnonzero(np.diff(salt)) + 1
+            starts = turn[s:e][np.concatenate(([0], change)).astype(int)]
+            oc.append(conv[s])
+            # serialize as text — variable-length int lists in pandas
+            # object columns are fragile through Ray's block layer
+            ob.append(",".join(str(int(t)) for t in starts))
+        return pd.DataFrame({"conv_id": oc, "bounds": ob})
+
+    rows = picked.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(bounds, batch_format="pandas") \
+        .to_pandas()
+    return {c: np.array([int(x) for x in b.split(",")], dtype=np.int64)
+            for c, b in zip(rows["conv_id"], rows["bounds"])}
 
 
 def _runs(conv_sorted: np.ndarray) -> list[tuple[int, int]]:
@@ -123,6 +236,20 @@ def final_fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def salt_boundaries_ref(turns_slim, pcfg: PipelineConfig):
+    """Run the byte-budget pre-pass (if enabled) and broadcast the
+    boundary map; None when disabled or when no conversation exceeds the
+    budget (the fast path — keying then behaves exactly as span salting)."""
+    if not pcfg.salt_byte_budget:
+        return None
+    bmap = find_salt_boundaries(turns_slim, pcfg.salt_byte_budget,
+                                pcfg.mega_conv_cap)
+    if not bmap:
+        return None
+    import ray
+    return ray.put(bmap)
+
+
 def assemble_conversations(turns_ds, pcfg: PipelineConfig = DEFAULT_PIPELINE):
     """turns Dataset (conv_id/turn_idx/text_extracted/content_chars …) →
     conversation Dataset (CONV_SCHEMA).  Pure two-shuffle dataset pipeline
@@ -131,26 +258,33 @@ def assemble_conversations(turns_ds, pcfg: PipelineConfig = DEFAULT_PIPELINE):
     multi-salt partials, see pipelines/extract_pipeline.run_assembly)."""
     slim = turns_ds.select_columns(
         ["conv_id", "turn_idx", "text_extracted", "content_chars"])
+    bref = salt_boundaries_ref(
+        slim.select_columns(["conv_id", "turn_idx", "content_chars"]), pcfg)
     keyed = slim.map_batches(
         _add_keys, batch_format="pyarrow", batch_size=pcfg.batch_size,
         fn_kwargs={"buckets": pcfg.assembly_buckets,
-                   "salt_span": pcfg.salt_span})
+                   "salt_span": pcfg.salt_span,
+                   "boundaries": bref})
     partials = keyed.groupby(["bucket", "salt"]).map_groups(
         partial_fold_bucket, batch_format="pandas")
     return partials.groupby("bucket").map_groups(
         final_fold_bucket, batch_format="pandas")
 
 
-def fold_or_finalize(group: pd.DataFrame, salt_span: int) -> pd.DataFrame:
+def fold_or_finalize(group: pd.DataFrame, salt_span: int,
+                     boundaries=None) -> pd.DataFrame:
     """Phase-A fold that FINALIZES complete conversations in place.
 
     A conversation is provably complete inside its (bucket, salt=0) group
     when its max turn_idx < salt_span - 1 (turn indices are contiguous
     0..n-1 per conversation — FIXTURES.md F1; convs with >= salt_span
-    turns conservatively take the partial path).  Finalized rows carry
+    turns conservatively take the partial path).  Byte-salted
+    mega-conversations (present in the ``boundaries`` map) are complete
+    iff their boundary list has a single chunk.  Finalized rows carry
     sha256 + is_final=True; multi-salt conversations emit partial rows
     (is_final=False) that a tiny follow-up shuffle merges — so the bulk of
     the corpus never rides a second exchange."""
+    bmap = _resolve_boundaries(boundaries)
     g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     conv = g["conv_id"].to_numpy()
     turn = g["turn_idx"].to_numpy()
@@ -160,7 +294,11 @@ def fold_or_finalize(group: pd.DataFrame, salt_span: int) -> pd.DataFrame:
     oc, on, ochars, otext, osha, ofinal, omin = [], [], [], [], [], [], []
     for s, e in _runs(conv):
         full = "\n".join(t if t is not None else "" for t in texts[s:e])
-        complete = salt0 and int(turn[e - 1]) < salt_span - 1
+        b = bmap.get(conv[s])
+        if b is not None:
+            complete = salt0 and len(b) == 1
+        else:
+            complete = salt0 and int(turn[e - 1]) < salt_span - 1
         oc.append(conv[s])
         on.append(int(e - s))
         ochars.append(int(chars[s:e].sum()))
