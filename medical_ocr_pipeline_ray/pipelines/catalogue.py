@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_range_search": similarity.knn_range_search,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
+        "knn_ivf_pruned": similarity.knn_ivf_pruned,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (decode/feature/resize/frame-sample stages;
         # pixel kernels stubbed, Ray plumbing real)

@@ -60,32 +60,51 @@ def synth_media(sf_dir: str):
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage.
+    """Actor-pool decode/feature stage with an OPTIONAL-IMPORT real
+    kernel.
 
-    ``__init__`` is where a real build would load the decoder / model once
-    per actor (PIL/torchvision/librosa).  Those libraries are absent here:
-    ``decode=True`` raises ``NotImplementedError`` (STUB — the real kernel
-    goes there), while the default path computes a deterministic
-    16-bin byte histogram + length as the stand-in feature vector, so the
-    batch plumbing, schema and actor lifecycle are fully exercised.
+    ``__init__`` is where the decoder loads once per actor: with
+    ``decode=True`` it imports PIL if the environment has it (the real
+    kernel — decode image bytes, histogram the PIXELS) and otherwise
+    leaves the seam as a clearly-marked ``NotImplementedError`` stub.
+    The default path computes a deterministic 16-bin BYTE histogram +
+    length, exercising the same batch plumbing and emitting the SAME
+    schema as the real kernel, so swapping stub ↔ real changes no
+    downstream stage.
     """
 
     def __init__(self, decode: bool = False):
         self.decode = decode
         self.bins = np.arange(0, 257, 16)
+        self._pil = None
+        if decode:
+            try:
+                from PIL import Image   # optional dependency
+                self._pil = Image
+            except ImportError:
+                self._pil = None
+
+    def _features(self, values: np.ndarray) -> np.ndarray:
+        hist, _ = np.histogram(values, bins=self.bins)
+        return hist.astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode:
+        if self.decode and self._pil is None:
             raise NotImplementedError(
-                "real media decode requires PIL/librosa — not available in "
-                "this environment; plug the decoder here")
+                "real media decode requires PIL — not available in this "
+                "environment; the kernel below runs unchanged when it is")
         ids = batch["doc_id"].to_pylist()
         feats, sizes = [], []
         for buf in batch["payload"]:
-            b = np.frombuffer(buf.as_py(), dtype=np.uint8)
-            hist, _ = np.histogram(b, bins=self.bins)
-            feats.append(hist.astype(np.int64))
-            sizes.append(len(b))
+            raw = buf.as_py()
+            if self.decode:
+                import io
+                img = self._pil.open(io.BytesIO(raw)).convert("L")
+                vals = np.asarray(img, dtype=np.uint8).ravel()
+            else:
+                vals = np.frombuffer(raw, dtype=np.uint8)
+            feats.append(self._features(vals))
+            sizes.append(len(raw))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "n_bytes": pa.array(sizes, pa.int64()),
@@ -107,17 +126,27 @@ class MediaResizer:
     """Actor-pool resize stage.  The GEOMETRY is real — clamp the long
     side to ``max_side`` preserving aspect ratio (the reference's
     ``clamp_long_side``, notebooks/01_extract_blocks.ipynb:~88, fast=1800
-    / heavy=3000) — while the pixel resample itself is the stubbed kernel
-    (``resample=True`` raises; PIL is absent in this environment)."""
+    / heavy=3000).  ``resample=True`` is the optional-import pixel
+    kernel seam: uses PIL when importable, raises the clearly-marked
+    stub error otherwise (same output schema either way — the resample
+    only validates that decoded pixels match the computed geometry)."""
 
     def __init__(self, max_side: int = 1800, resample: bool = False):
         self.max_side = max_side
         self.resample = resample
+        self._pil = None
+        if resample:
+            try:
+                from PIL import Image   # optional dependency
+                self._pil = Image
+            except ImportError:
+                self._pil = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.resample:
+        if self.resample and self._pil is None:
             raise NotImplementedError(
-                "pixel resampling requires PIL — plug the kernel here")
+                "pixel resampling requires PIL — not available in this "
+                "environment; the kernel runs unchanged when it is")
         w = np.asarray(batch["width"].to_numpy(zero_copy_only=False),
                        dtype=np.float64)
         h = np.asarray(batch["height"].to_numpy(zero_copy_only=False),

@@ -288,3 +288,57 @@ def test_embedding_near_dup_hot_bucket_star_pairing(ray_session):
     # ... and ONLY star pairs: candidate count is linear in bucket size
     assert len(out) == n - 1
     assert (out["cosine"] >= 0.99).all()
+
+def test_media_decoder_optional_pil_seam(ray_session):
+    """decode=True uses PIL when the environment has it (real kernel:
+    decoded-PIXEL histogram) and raises the declared stub error when it
+    does not — same actor, same output schema either way."""
+    import pyarrow as pa
+    from medical_ocr_pipeline_ray.pipelines.multimodal import MediaDecoder
+
+    try:
+        from PIL import Image
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    dec = MediaDecoder(decode=True)
+    if has_pil:
+        import io
+        img = Image.new("L", (4, 4), color=255)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        out = dec(pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "payload": pa.array([buf.getvalue()], pa.binary())}))
+        assert out.column_names == ["doc_id", "n_bytes", "byte_hist"]
+        hist = out["byte_hist"][0].as_py()
+        assert sum(hist) == 16           # 4x4 decoded pixels
+        assert hist[-1] == 16            # all white -> top bin
+    else:
+        with pytest.raises(NotImplementedError):
+            dec(pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([b"x"], pa.binary())}))
+
+def test_knn_ivf_pruned_reads_only_probe_cells(ray_session):
+    """Read-pruned IVF: identical ranking to the compute-pruned knn_ivf
+    (same centroids / probe cells), and the scan touches strictly fewer
+    parquet fragments than the full layout holds."""
+    import glob
+    import os
+    from medical_ocr_pipeline_ray.pipelines.similarity import (
+        _ivf_layout_cached, knn_brute_force, knn_ivf, knn_ivf_pruned)
+
+    pruned = knn_ivf_pruned(SF_DIR)
+    full = knn_ivf(SF_DIR)
+    assert list(pruned["vec_id"]) == list(full["vec_id"])
+    # pruning evidence: probe cells < total cells in the layout
+    layout = _ivf_layout_cached(SF_DIR, 16)
+    all_cells = glob.glob(os.path.join(layout, "cell=*"))
+    assert len(all_cells) > 4           # corpus spans more cells ...
+    # ... while the query read only nprobe=4 of them (by construction of
+    # the explicit path list); recall sanity vs brute force
+    brute = set(knn_brute_force(SF_DIR)["vec_id"])
+    assert len(set(pruned["vec_id"]) & brute) / len(brute) >= 0.3
+    # query vector itself always survives (it sits in a probe cell)
+    assert list(pruned["vec_id"])[0] == list(knn_brute_force(SF_DIR)["vec_id"])[0]
