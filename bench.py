@@ -81,6 +81,9 @@ def run_once() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from medical_ocr_pipeline_ray.logutil import \
+        silence_empty_block_schema_warnings
+    silence_empty_block_schema_warnings()
 
     from medical_ocr_pipeline_ray.pipelines import catalogue
     from medical_ocr_pipeline_ray.pipelines.extract_pipeline import \
