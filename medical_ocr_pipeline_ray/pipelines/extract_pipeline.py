@@ -105,19 +105,50 @@ def build_turns_pipeline(ds: "rd.Dataset",
         fn_constructor_kwargs={"cfg": cfg, "keep_cols": tuple(keep_cols)})
 
 
-def _partition_metrics(turns_root: str, part: str) -> dict:
+def _partition_metrics(turns_root: str, part: str,
+                       salt_budget: int = 0) -> dict:
     pdir = os.path.join(turns_root, f"part={part}")
     dset = pads.dataset(pdir, format="parquet")
-    tbl = dset.to_table(columns=["content_chars", "payload_class"])
+    tbl = dset.to_table(columns=["content_chars", "payload_class",
+                                 "conv_id"])
     classes = tbl["payload_class"].to_pylist()
     hist: dict[str, int] = {}
     for c in classes:
         hist[c] = hist.get(c, 0) + 1
-    return {
+    out = {
         "rows": tbl.num_rows,
         "content_chars": int(pa.compute.sum(tbl["content_chars"]).as_py() or 0),
         "class_histogram": hist,
     }
+    if salt_budget:
+        # mega-conversation CANDIDATES for byte-budget salting, computed
+        # on the lineage read-back this function already does (the
+        # partition's columns are in hand) so run_assembly's discovery
+        # pre-pass becomes a manifest lookup.  At-risk rule as in
+        # stages/assemble.find_salt_boundaries: partition-local total ≥
+        # budget, or the partition's first/last conversation (may
+        # continue in a neighboring partition).  Arrow-native hash
+        # aggregate — a pylist/pandas pass over millions of conv_id
+        # strings measurably taxes the extraction phase.
+        import pyarrow.compute as pc_
+        if tbl.num_rows:
+            g = pa.TableGroupBy(tbl.select(["conv_id", "content_chars"]),
+                                "conv_id").aggregate(
+                                    [("content_chars", "sum")])
+            edge = pa.array([tbl["conv_id"][0].as_py(),
+                             tbl["conv_id"][tbl.num_rows - 1].as_py()])
+            keep = pc_.or_(
+                pc_.greater_equal(g["content_chars_sum"],
+                                  pa.scalar(salt_budget, pa.int64())),
+                pc_.is_in(g["conv_id"], value_set=edge))
+            sel = g.filter(keep)
+            out["mega_candidates"] = dict(zip(
+                sel["conv_id"].to_pylist(),
+                (int(x) for x in sel["content_chars_sum"].to_pylist())))
+        else:
+            out["mega_candidates"] = {}
+        out["salt_budget"] = int(salt_budget)
+    return out
 
 
 def run_extraction(input_dir: str, out_dir: str, resume: bool = True,
@@ -170,15 +201,17 @@ def run_extraction(input_dir: str, out_dir: str, resume: bool = True,
         # lineage metrics: cheap columnar read-back of each partition, run
         # as Ray tasks so it scales with the cluster (not the driver)
         import ray
+        budget = pcfg.salt_byte_budget
         if ray.is_initialized() and len(wave) > 4:
             mtask = ray.remote(num_cpus=0.5)(_partition_metrics)
             metrics_list = ray.get(
-                [mtask.remote(turns_root, p) for p in wave])
+                [mtask.remote(turns_root, p, budget) for p in wave])
         else:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=8) as pool:
                 metrics_list = list(pool.map(
-                    lambda p: _partition_metrics(turns_root, p), wave))
+                    lambda p: _partition_metrics(turns_root, p, budget),
+                    wave))
         for part, metrics in zip(wave, metrics_list):
             commit_partition(out_dir, {
                 "partition": part,
@@ -226,13 +259,37 @@ def run_assembly(out_dir: str,
     # the widest column — never leaves the parquet files)
     turns = read_turns(out_dir, columns=[
         "conv_id", "turn_idx", "text_extracted", "content_chars"])
-    from ..stages.assemble import (_add_keys, fold_or_finalize,
-                                   merge_partials, salt_boundaries_ref)
-    # byte-budget pre-pass (slim columns only): mega-conversations get
-    # per-chunk salts so no salt group exceeds ~salt_byte_budget bytes
-    bref = salt_boundaries_ref(
-        read_turns(out_dir, columns=["conv_id", "turn_idx",
-                                     "content_chars"]), pcfg)
+    from ..stages.assemble import (_add_keys, boundaries_for_megaset,
+                                   fold_or_finalize, merge_partials,
+                                   salt_boundaries_ref)
+    # Byte-budget salting: mega-conversations get per-chunk salts so no
+    # salt group exceeds ~salt_byte_budget bytes.  The manifest carries
+    # per-partition mega CANDIDATES (computed on the lineage read-back at
+    # extraction time), so the common no-mega case costs a dict lookup;
+    # outputs without candidates (or a different budget) fall back to the
+    # full slim discovery pre-pass.
+    bref = None
+    if pcfg.salt_byte_budget:
+        recs = list(load_manifest(out_dir, pcfg.stage_version).values())
+        slim_cols = ["conv_id", "turn_idx", "content_chars"]
+        if recs and all(
+                r.get("salt_budget") == pcfg.salt_byte_budget and
+                "mega_candidates" in r for r in recs):
+            agg: dict[str, int] = {}
+            for r in recs:
+                for c, t in r["mega_candidates"].items():
+                    agg[c] = agg.get(c, 0) + int(t)
+            mega = {c: t for c, t in agg.items()
+                    if t > pcfg.salt_byte_budget}
+            if mega:
+                bmap = boundaries_for_megaset(
+                    read_turns(out_dir, columns=slim_cols), mega,
+                    pcfg.salt_byte_budget, cap=pcfg.mega_conv_cap)
+                import ray as _ray2
+                bref = _ray2.put(bmap) if bmap else None
+        else:
+            bref = salt_boundaries_ref(
+                read_turns(out_dir, columns=slim_cols), pcfg)
     keyed = turns.map_batches(
         _add_keys, batch_format="pyarrow", batch_size=pcfg.batch_size,
         fn_kwargs={"buckets": pcfg.assembly_buckets,

@@ -103,15 +103,32 @@ def find_salt_boundaries(turns_slim, budget: int, cap: int = 100_000,
     ``cap`` bounds the driver-side dict; overflow conversations fall back
     to turn-span salting and the count is LOGGED (no silent caps).  Chunk
     rule: turn t belongs to chunk ``prefix_chars_before_t // budget`` —
-    monotone in t, so chunks are contiguous turn ranges."""
+    monotone in t, so chunks are contiguous turn ranges.
+
+    Totals cost is kept off the common path by an AT-RISK filter in the
+    combiner: a conversation fully interior to one batch with a partial
+    sum under the budget provably cannot be mega, so only batch-BOUNDARY
+    conversations (which may continue in neighboring batches) and
+    partials already ≥ budget enter the exchange — ~2 rows per batch
+    instead of one per (conv, batch).  Exact when conversation rows are
+    physically contiguous (the standard layout for transcript logs and
+    this engine's extraction output); a conversation whose rows are
+    scattered could be missed, which only degrades it to turn-span
+    salting — output bytes are unaffected."""
     import logging
 
     from ray.data.aggregate import Sum
 
     def partial_tot(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("conv_id", as_index=False)["content_chars"].sum()
+        g = df.groupby("conv_id", as_index=False)["content_chars"].sum()
+        if len(df):
+            edge = (df["conv_id"].iloc[0], df["conv_id"].iloc[-1])
+            g = g[(g["content_chars"] >= budget)
+                  | g["conv_id"].isin(edge)]
+        return g
 
-    totals = turns_slim.map_batches(partial_tot, batch_format="pandas") \
+    totals = turns_slim.map_batches(partial_tot, batch_format="pandas",
+                                    batch_size=None) \
         .groupby("conv_id").aggregate(
             Sum("content_chars", alias_name="total"))
 
@@ -121,15 +138,32 @@ def find_salt_boundaries(turns_slim, budget: int, cap: int = 100_000,
     mega = totals.map_batches(only_mega, batch_format="pandas").to_pandas()
     if mega.empty:
         return {}
-    if len(mega) > cap:
+    return boundaries_for_megaset(
+        turns_slim, dict(zip(mega["conv_id"], mega["total"].astype(int))),
+        budget, cap=cap, n_buckets=n_buckets)
+
+
+def boundaries_for_megaset(turns_slim, mega_totals: dict, budget: int,
+                           cap: int = 100_000,
+                           n_buckets: int | None = None) -> dict:
+    """Chunk boundaries for a KNOWN set of mega-conversations (conv_id →
+    total chars): filtered slim read + bucketed prefix-sum fold.  Split
+    out of ``find_salt_boundaries`` so callers that already know the
+    mega set (run_assembly reads per-partition candidates from the
+    checkpoint manifest) skip the discovery exchange entirely."""
+    import logging
+
+    if not mega_totals:
+        return {}
+    if len(mega_totals) > cap:
         logging.getLogger(__name__).warning(
-            "find_salt_boundaries: %d mega-conversations exceed the cap "
+            "boundaries_for_megaset: %d mega-conversations exceed the cap "
             "of %d; the %d largest get byte salts, the rest fall back to "
-            "turn-span salting", len(mega), cap, cap)
-        mega = mega.sort_values(["total", "conv_id"],
-                                ascending=[False, True]).head(cap)
+            "turn-span salting", len(mega_totals), cap, cap)
+        keep = sorted(mega_totals, key=lambda c: (-mega_totals[c], c))[:cap]
+        mega_totals = {c: mega_totals[c] for c in keep}
     import ray
-    mega_ref = ray.put(frozenset(mega["conv_id"]))
+    mega_ref = ray.put(frozenset(mega_totals))
 
     def pick(df: pd.DataFrame, _ref=mega_ref) -> pd.DataFrame:
         import ray as _r
@@ -182,18 +216,38 @@ def _runs(conv_sorted: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts, ends))
 
 
+def _conv_order(conv: np.ndarray, second: np.ndarray) -> np.ndarray:
+    """Sort permutation grouping equal conv_ids contiguously with
+    ``second`` ascending inside each group.  Inter-conversation order is
+    irrelevant to every fold (rows per conversation are independent), so
+    conv_ids are FACTORIZED to first-occurrence int codes and the sort is
+    an int lexsort — O(n) hashing instead of O(n log n) string compares
+    (the folds are the assembly CPU hot path)."""
+    codes = pd.factorize(conv)[0]
+    return np.lexsort((second, codes))
+
+
 def partial_fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
     """One partial row per (conv, salt) — vectorized over the whole bucket."""
-    g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    conv = g["conv_id"].to_numpy()
-    texts = g["text_extracted"].to_numpy()
-    chars = g["content_chars"].to_numpy()
-    salts = g["salt"].to_numpy()
+    order = _conv_order(group["conv_id"].to_numpy(),
+                        group["turn_idx"].to_numpy())
+    conv = group["conv_id"].to_numpy()[order]
+    texts = group["text_extracted"].to_numpy()[order]
+    chars = group["content_chars"].to_numpy()[order]
+    salts = group["salt"].to_numpy()[order]
     # runs keyed by (conv, salt): conv runs then split on salt changes
-    key = np.char.add(conv.astype(str),
-                      np.char.add("\x00", salts.astype(str)))
+    # (salts ascend with turn_idx inside a conversation, so the lexsort by
+    # turn_idx already orders them)
+    n = len(conv)
+    if n:
+        change = np.flatnonzero((conv[1:] != conv[:-1])
+                                | (salts[1:] != salts[:-1])) + 1
+        runs = list(zip(np.concatenate(([0], change)),
+                        np.concatenate((change, [n]))))
+    else:
+        runs = []
     oc, osalt, on, ochars, otext = [], [], [], [], []
-    for s, e in _runs(key):
+    for s, e in runs:
         oc.append(conv[s])
         osalt.append(int(salts[s]))
         on.append(int(e - s))
@@ -214,11 +268,12 @@ def partial_fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
 def final_fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
     """Merge each conversation's salt partials (ordered) — vectorized over
     the whole bucket; one output row per conversation."""
-    g = group.sort_values(["conv_id", "salt"], kind="mergesort")
-    conv = g["conv_id"].to_numpy()
-    parts = g["text_part"].to_numpy()
-    n_turns = g["n_turns"].to_numpy()
-    chars = g["content_chars"].to_numpy()
+    order = _conv_order(group["conv_id"].to_numpy(),
+                        group["salt"].to_numpy())
+    conv = group["conv_id"].to_numpy()[order]
+    parts = group["text_part"].to_numpy()[order]
+    n_turns = group["n_turns"].to_numpy()[order]
+    chars = group["content_chars"].to_numpy()[order]
     oc, on, ochars, otext, osha = [], [], [], [], []
     for s, e in _runs(conv):
         full = "\n".join(parts[s:e])
@@ -285,12 +340,13 @@ def fold_or_finalize(group: pd.DataFrame, salt_span: int,
     (is_final=False) that a tiny follow-up shuffle merges — so the bulk of
     the corpus never rides a second exchange."""
     bmap = _resolve_boundaries(boundaries)
-    g = group.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-    conv = g["conv_id"].to_numpy()
-    turn = g["turn_idx"].to_numpy()
-    texts = g["text_extracted"].to_numpy()
-    chars = g["content_chars"].to_numpy()
-    salt0 = int(g["salt"].iloc[0]) == 0
+    order = _conv_order(group["conv_id"].to_numpy(),
+                        group["turn_idx"].to_numpy())
+    conv = group["conv_id"].to_numpy()[order]
+    turn = group["turn_idx"].to_numpy()[order]
+    texts = group["text_extracted"].to_numpy()[order]
+    chars = group["content_chars"].to_numpy()[order]
+    salt0 = int(group["salt"].iloc[0]) == 0
     oc, on, ochars, otext, osha, ofinal, omin = [], [], [], [], [], [], []
     for s, e in _runs(conv):
         full = "\n".join(t if t is not None else "" for t in texts[s:e])
