@@ -4,10 +4,12 @@ Engine-grade generalizations of the reference's per-page text-quality and
 term metrics (``analyze_text_quality``,
 notebooks/01_qa_pipeline_evaluation.ipynb:~117; term harvest,
 notebooks/qa_pipeline_evaluator.py:322-325): token counting, quality
-counters, language-ID heuristic, content fingerprinting.  Every operator
-here has an exact DuckDB oracle (see the *_SQL strings) — semantics were
-designed for cross-engine bit-equality (ASCII regex classes, integer
-counters, deterministic tie-breaks; functions/textstats.py).
+counters, language-ID heuristic, content fingerprinting.  The
+SQL-expressible operators carry exact DuckDB oracles (the *_SQL strings)
+— semantics designed for cross-engine bit-equality (ASCII regex classes,
+integer counters, deterministic tie-breaks; functions/textstats.py); the
+sketch/salience operators (HLL distinct, TF-IDF) are pytest-verified
+against exact sequential recomputations instead.
 
 All are stateless vectorizable batch maps: per-row Python string kernels
 inside ``map_batches`` (regex work has no Arrow kernel), scaling linearly
