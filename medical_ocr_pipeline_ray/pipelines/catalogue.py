@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-offset analogue with a SQL oracle (entity spans over turns
         # cannot be oracled — the driver's DuckDB sees only the sf tables)
         "doc_term_first_pos": textops.doc_term_first_pos,
+        # pre-training corpus gates: Gopher-style quality rules +
+        # deterministic hash-stratified sampling (both exact-oracled)
+        "doc_quality_filter": textops.doc_quality_filter,
+        "doc_sample_stratified": textops.doc_sample_stratified,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -168,6 +172,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute_force": similarity.KNN_SQL,
         "knn_range_search": similarity.KNN_RANGE_SQL,
         "doc_term_first_pos": textops.DOC_TERM_FIRST_POS_SQL,
+        "doc_quality_filter": textops.DOC_QUALITY_SQL,
+        "doc_sample_stratified": textops.DOC_SAMPLE_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

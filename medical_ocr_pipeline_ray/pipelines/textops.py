@@ -421,3 +421,97 @@ SELECT doc_id, term, CAST(strpos(text, term) AS BIGINT) AS pos
 FROM documents, (SELECT unnest([{_sql_list(SPAN_TERMS)}]) AS term)
 WHERE strpos(text, term) > 0
 """
+
+
+def doc_quality_filter(sf_dir: str, min_tokens: int = 30,
+                       min_mwl: float = 3.8, max_mwl: float = 5.1,
+                       min_stop_frac: float = 0.04):
+    """Gopher-style document quality gate — the standard pre-training
+    filter family (token-count floor, mean-word-length band, stopword
+    fraction floor; Rae et al. 2021, public method).  Pure per-batch
+    vectorizable map, no shuffle; emits the kept docs with their metric
+    columns.  Ratios are raw IEEE quotients of exact integer counters,
+    so the DuckDB oracle matches bit-for-bit."""
+    import re
+
+    tok_rx = re.compile(r"[A-Za-z0-9_]+")
+    stop_rx = re.compile(r"[a-z]+")
+    stops = set(EN_STOPS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, nt, mwl, sf = [], [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            toks = tok_rx.findall(t)
+            if not toks:
+                continue
+            n = len(toks)
+            m = sum(map(len, toks)) / n
+            s = sum(1 for w in stop_rx.findall(t.lower())
+                    if w in stops) / n
+            if n >= min_tokens and min_mwl <= m <= max_mwl \
+                    and s >= min_stop_frac:
+                ids.append(int(did))
+                nt.append(n)
+                mwl.append(m)
+                sf.append(s)
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "n_tokens": np.array(nt, dtype=np.int64),
+            "mean_word_len": np.array(mwl, dtype=np.float64),
+            "stop_frac": np.array(sf, dtype=np.float64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+    len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+        x -> x IN ({_sql_list(EN_STOPS)}))) AS nstop
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+      / len(toks) AS mean_word_len,
+    nstop::DOUBLE / len(toks) AS stop_frac
+  FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_word_len,
+       stop_frac
+FROM m
+WHERE n_tokens >= 30 AND mean_word_len >= 3.8 AND mean_word_len <= 5.1
+  AND stop_frac >= 0.04
+"""
+
+
+def doc_sample_stratified(sf_dir: str, rates=(("en", 30),), default: int = 10):
+    """Deterministic HASH-stratified sampler — per-language rates with no
+    RNG state: keep doc iff ``(doc_id * 2654435761) % 100 < rate[lang]``
+    (Knuth multiplicative hash).  The scale-correct sampler: reproducible
+    across engines, runs and cluster sizes, no seed shipping, and a
+    resumed job re-derives the exact same sample.  Embarrassingly
+    parallel batch filter.  (Multiplication stays in int64 for doc_id
+    < ~3.5e9; salt-and-rehash with a 32-bit fold beyond that.)"""
+    import ray.data as rd
+    rate_map = dict(rates)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy().astype(np.int64)
+             * np.int64(2654435761)) % 100
+        r = df["lang"].map(rate_map).fillna(default).to_numpy()
+        keep = h < r
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep].astype(np.int64),
+            "lang": df["lang"].to_numpy()[keep]})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+DOC_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 100 <
+      (CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
+"""

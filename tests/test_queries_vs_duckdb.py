@@ -68,6 +68,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "events_value_quantiles", "events_value_quantiles_by_type",
     "dedup_ngram_jaccard", "doc_term_first_pos", "events_user_rank",
     "events_distinct_users_by_type", "knn_range_search",
+    "doc_quality_filter", "doc_sample_stratified",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
