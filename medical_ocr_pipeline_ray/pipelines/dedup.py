@@ -240,27 +240,26 @@ def _attach_text(cands, corpus, which: str, n_buckets: int | None = None):
                                              batch_format="pandas")
 
 
-# Per-process verify-sketch memoization.  Keys are 16-byte blake2b
-# CONTENT DIGESTS (never the full text — a long-lived Ray worker would
-# otherwise hold every verified document as a dict key), and the shingle
-# cache is bounded by APPROXIMATE BYTES of the stored sets, not entry
-# count, so giant documents cannot blow the worker heap before an
-# entry-count cap triggers.
-_SHINGLE_CACHE: dict[tuple[int, bytes], frozenset] = {}
-_SIMHASH_CACHE: dict[bytes, int] = {}
-_SIMHASH_CACHE_CAP = 200_000            # digest+int ≈ 120 B → ~24 MB max
+# Per-process verify-sketch memoization.  Keys are (length, hash(text))
+# — never the full text, so a long-lived Ray worker does not hold every
+# verified document as a dict key — and the shingle cache is bounded by
+# APPROXIMATE BYTES of the stored sets, not entry count, so giant
+# documents cannot blow the worker heap before an entry-count cap
+# triggers.  ``hash(str)`` is the per-process salted siphash (cached on
+# the string object — a content digest here measurably taxed the verify
+# hot path); the cache is process-local so the salt never crosses
+# processes, and a collision needs equal length AND equal 64-bit hash
+# within one worker's bounded cache (~1e5 entries → ~1e-9).
+_SHINGLE_CACHE: dict[tuple[int, int, int], frozenset] = {}
+_SIMHASH_CACHE: dict[tuple[int, int], int] = {}
+_SIMHASH_CACHE_CAP = 200_000            # small ints ≈ 100 B → ~20 MB max
 _SHINGLE_CACHE_MAX_BYTES = 256 * 1024 * 1024
 _shingle_cache_bytes = 0
 
 
-def _text_digest(text: str) -> bytes:
-    import hashlib
-    return hashlib.blake2b(text.encode("utf-8"), digest_size=16).digest()
-
-
 def _cached_shingles(text: str, k: int) -> frozenset:
     global _shingle_cache_bytes
-    key = (k, _text_digest(text))
+    key = (k, len(text), hash(text))
     s = _SHINGLE_CACHE.get(key)
     if s is None:
         s = frozenset(shingles(text, k))
@@ -272,7 +271,7 @@ def _cached_shingles(text: str, k: int) -> frozenset:
 
 
 def _cached_simhash(text: str) -> int:
-    key = _text_digest(text)
+    key = (len(text), hash(text))
     h = _SIMHASH_CACHE.get(key)
     if h is None:
         h = simhash64(text)
