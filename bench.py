@@ -54,6 +54,15 @@ BENCH_QUERIES = (
     "join_lineitem_orders_priority",
     "semi_join_customers_with_orders",
     "topk_orders",
+    # round-3 operators
+    "doc_tfidf_top_terms",
+    "embedding_near_dup",
+    "knn_ivf_pruned",
+    "knn_range_search",
+    "events_user_rank",
+    "events_distinct_users_by_type",
+    "doc_quality_filter",
+    "doc_sample_stratified",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

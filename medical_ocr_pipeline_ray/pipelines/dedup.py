@@ -23,7 +23,9 @@ appended) and every ``doc_id % 37 == 0`` an exact twin
 (``doc_id + 2_000_000``) — derived deterministically in-pipeline, no
 external data.
 
-Scale design (round-2, replaces the round-1 corpus-text broadcast):
+Scale design (round 2 replaced the round-1 corpus-text broadcast;
+round 3 sized every bucket count from ``partitioning.buckets_for`` and
+made cluster label propagation provably convergent):
 - the band/bucket shuffles move only (key, doc_id) pairs, never payloads;
 - candidate VERIFICATION is a partitioned hash join — candidate pairs are
   bucketed on ``doc_a % P`` then ``doc_b % P`` against the corpus bucketed

@@ -8,9 +8,14 @@
   buckets within Hamming distance ``probe`` of the query's bucket are
   scanned.  Approximate → verified against brute force by recall in tests
   (rows-only for the driver).
+- ``knn_ivf`` / ``knn_ivf_pruned`` — coarse-quantization ANN; the pruned
+  variant reads ONLY the query's nprobe cells of a cell-partitioned
+  layout (``build_ivf_layout``) — the IO win IVF exists for.
+- ``knn_range_search`` — radius query (all vectors with cosine ≥ thr).
 - ``embedding_near_dup`` — embedding-cosine near-duplicate pairs over an
-  augmented corpus (planted perturbed twins), LSH-bucketed candidates +
-  exact cosine verify.
+  augmented corpus (planted perturbed twins): slim LSH-bucket shuffle,
+  star-paired hot buckets, id-keyed partitioned vector attach, exact
+  cosine verify (round-3 shape — see ``near_dup_pairs``).
 
 All stages are numpy-vectorized per batch; nothing materializes the full
 table except the final top-k (k rows).
