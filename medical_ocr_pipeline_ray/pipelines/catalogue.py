@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.join_lineitem_orders_priority,
         "semi_join_customers_with_orders":
             relational.semi_join_customers_with_orders,
+        # bloom-prefiltered variant: same result, shuffle bytes pruned by
+        # a mergeable 128 KiB bitmap of the fact side's keys
+        "semi_join_customers_bloom": relational.semi_join_customers_bloom,
         "anti_join_customers_no_orders":
             relational.anti_join_customers_no_orders,
         "sample_events": sample_events,
@@ -157,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "label_counts": relational.LABEL_COUNTS_SQL,
         "join_lineitem_orders_priority": relational.JOIN_PRIORITY_SQL,
         "semi_join_customers_with_orders": relational.SEMI_JOIN_SQL,
+        "semi_join_customers_bloom": relational.SEMI_JOIN_SQL,
         "anti_join_customers_no_orders": relational.ANTI_JOIN_SQL,
         "events_json_props": relational.EVENTS_JSON_SQL,
         "doc_top_tokens": relational.DOC_TOP_TOKENS_SQL,

@@ -1037,3 +1037,96 @@ EVENTS_DISTINCT_USERS_SQL = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join: the shuffle-byte reducer for selective
+# semi/anti joins at 100 TB.  The fact side's keys fold into a MERGEABLE
+# bit array (one row per batch, OR-reduced — same mergeable-sketch shape
+# as textops' HLL), the small bitmap broadcasts via ray.put, and the dim
+# side drops every row whose key misses the filter BEFORE the bucketed
+# exchange.  False positives (~|keys|/m bits set → (1-e^-kn/m)^k) are
+# removed by the exact per-bucket verify, so results are EXACT — the
+# bloom only prunes exchange bytes.  Public construction (Bloom 1970).
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 20          # 128 KiB bitmap; size m ~ 10 bits/key
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, K) bit positions via independent multiplicative mixes."""
+    k = keys.astype(np.uint64)
+    consts = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+                      dtype=np.uint64)[:_BLOOM_K]
+    mixed = k[:, None] * consts[None, :]
+    return ((mixed >> np.uint64(40)) % np.uint64(_BLOOM_BITS)) \
+        .astype(np.int64)
+
+
+def semi_join_customers_bloom(sf_dir: str):
+    """Same result as ``semi_join_customers_with_orders`` (and the same
+    DuckDB oracle), with a bloom prefilter on the customer side:
+
+    1. build: per-batch order-key bitmaps (np.uint8), OR-merged into one
+       128 KiB filter on the driver (bounded regardless of fact size;
+       the merge is associative — at cluster scale do a tree reduce).
+    2. prune: customers failing the filter drop before the exchange —
+       at a selective join this removes most of the shuffled bytes.
+    3. exact verify: the surviving pairs run the same bucketed semi
+       join, so bloom false positives cannot leak into the result.
+    """
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        pos = _bloom_positions(pd.unique(df["o_custkey"]))
+        bits[pos.reshape(-1)] = True
+        return pd.DataFrame({"bits": [np.packbits(bits)]})
+
+    merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in orders.map_batches(build, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        for arr in b["bits"]:
+            np.bitwise_or(merged, np.asarray(arr, dtype=np.uint8),
+                          out=merged)
+    bloom_ref = ray.put(merged)
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+    n_buckets = buckets_for(table_bytes(sf_dir, "orders"))
+
+    def key_cust(df: pd.DataFrame, _ref=bloom_ref) -> pd.DataFrame:
+        bits = np.unpackbits(ray.get(_ref)).view(bool)
+        pos = _bloom_positions(df["c_custkey"].to_numpy())
+        maybe = bits[pos].all(axis=1)
+        df = df[maybe]
+        return pd.DataFrame({
+            "bucket": (df["c_custkey"].to_numpy() % n_buckets)
+            .astype(np.int32),
+            "custkey": df["c_custkey"].to_numpy(),
+            "c_name": df["c_name"].astype(object),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def key_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = pd.unique(df["o_custkey"])
+        return pd.DataFrame({
+            "bucket": (ks % n_buckets).astype(np.int32),
+            "custkey": ks,
+            "c_name": np.full(len(ks), "", dtype=object),
+            "side": np.ones(len(ks), dtype=np.int8)})
+
+    both = cust.map_batches(key_cust, batch_format="pandas").union(
+        orders.map_batches(key_orders, batch_format="pandas"))
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == 1, "custkey"])
+        c = g[g["side"] == 0]
+        c = c[c["custkey"].isin(have)]
+        return pd.DataFrame({
+            "c_custkey": c["custkey"].to_numpy().astype(np.int64),
+            "c_name": c["c_name"].astype(object)})
+
+    return both.groupby("bucket").map_groups(filter_bucket,
+                                             batch_format="pandas")

@@ -341,3 +341,22 @@ def test_tfidf_matches_sequential(ray_session):
     want = sorted(rows)
     have = list(got.itertuples(index=False, name=None))
     assert sorted(have) == want
+
+
+def test_bloom_filter_prunes_and_never_drops_members():
+    """The semi-join bloom prefilter: every member key passes (no false
+    negatives — exactness depends on it) and non-member keys are mostly
+    pruned (the shuffle-byte win it exists for)."""
+    import numpy as np
+    from medical_ocr_pipeline_ray.pipelines.relational import (
+        _BLOOM_BITS, _bloom_positions)
+
+    members = np.arange(0, 50_000, dtype=np.int64)
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    bits[_bloom_positions(members).reshape(-1)] = True
+    # no false negatives
+    assert bits[_bloom_positions(members)].all(axis=1).all()
+    # strong pruning of non-members (~(1-e^-kn/m)^k ≈ 0.2% at these sizes)
+    probes = np.arange(10_000_000, 10_100_000, dtype=np.int64)
+    fp = bits[_bloom_positions(probes)].all(axis=1).mean()
+    assert fp < 0.02
