@@ -1010,27 +1010,40 @@ QUALIFY rnk <= 3
 # HLL sketch in textops.approx_distinct_shingles.
 # ---------------------------------------------------------------------------
 
-def events_distinct_users_by_type(sf_dir: str):
-    """``count(DISTINCT user_id)`` per event_type.  The shuffle moves
-    batch-deduped (event_type, user_id) pairs; the second groupby sees
-    one row per distinct pair, so its Count per type IS the distinct
-    count.  No driver-side sets at any point."""
+def events_distinct_users_by_type(sf_dir: str,
+                                  n_buckets: int | None = None):
+    """``count(DISTINCT user_id)`` per event_type.  Coarse-bucket fold
+    (never a groupby over the distinct-pair key space): batch-deduped
+    (type, user) pairs shuffle once by ``user_id % P``; a user lives in
+    exactly one bucket, so bucket-local distinct pairs are globally
+    distinct and the per-type partial counts sum exactly in a tiny final
+    groupby.  No driver-side sets at any point."""
     ds = rd.read_parquet(_t(sf_dir, "events"),
                          columns=["event_type", "user_id"])
+    n_buckets = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
 
-    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["event_type", "user_id"])
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["event_type", "user_id"])  # combiner
+        return pd.DataFrame({
+            "bucket": (d["user_id"].to_numpy() % n_buckets)
+            .astype(np.int32),
+            "event_type": d["event_type"].to_numpy(),
+            "user_id": d["user_id"].to_numpy()})
 
-    pairs = ds.map_batches(distinct_partial, batch_format="pandas") \
-        .groupby(["event_type", "user_id"]).aggregate(
-            Count(alias_name="_c"))
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        t = d.groupby("event_type", as_index=False).size()
+        return pd.DataFrame({"event_type": t["event_type"],
+                             "n": t["size"].astype(np.int64)})
 
-    def one_per_pair(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": df["event_type"],
-                             "n": np.ones(len(df), dtype=np.int64)})
-
-    return pairs.map_batches(one_per_pair, batch_format="pandas") \
-        .groupby("event_type").aggregate(Sum("n", alias_name="n_users"))
+    partials = ds.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+    # partials are bounded (≤ P × |event types| rows) → finish locally
+    # instead of paying a second exchange barrier
+    out = partials.to_pandas().groupby("event_type", as_index=False)["n"] \
+        .sum().rename(columns={"n": "n_users"})
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
 
 
 EVENTS_DISTINCT_USERS_SQL = """
