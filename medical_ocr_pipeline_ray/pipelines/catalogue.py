@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash-stratified sampling (both exact-oracled)
         "doc_quality_filter": textops.doc_quality_filter,
         "doc_sample_stratified": textops.doc_sample_stratified,
+        "doc_pii_scrub": textops.doc_pii_scrub,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_term_first_pos": textops.DOC_TERM_FIRST_POS_SQL,
         "doc_quality_filter": textops.DOC_QUALITY_SQL,
         "doc_sample_stratified": textops.DOC_SAMPLE_SQL,
+        "doc_pii_scrub": textops.DOC_PII_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

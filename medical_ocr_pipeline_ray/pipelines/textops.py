@@ -515,3 +515,88 @@ SELECT doc_id, lang FROM documents
 WHERE (doc_id * 2654435761) % 100 <
       (CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
 """
+
+
+# PII patterns chosen for RE2/Python dialect parity (verified: DuckDB
+# regexp_replace(...,'g') and re.sub agree on these classes)
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_augmented_docs(sf_dir: str):
+    """documents ∪ deterministically planted PII (emails / SSN-like /
+    phone-like strings appended by doc_id residue) — the synth corpus has
+    no natural PII, so the scrub operator needs planted truth, same
+    pattern as the dedup twins."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        texts = []
+        for did, t in zip(ids, df["text"]):
+            if did % 7 == 0:
+                t = t + f" contact user{did}@example.com"
+            if did % 11 == 0:
+                t = t + " ssn 123-45-6789"
+            if did % 13 == 0:
+                t = t + " call 555-123-4567"
+            texts.append(t)
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction over the (PII-planted) corpus — the training-data
+    scrub pass every public pipeline runs before tokenization: emails →
+    ``<EMAIL>``, SSN-like → ``<SSN>``, phone-like → ``<PHONE>`` (fixed
+    order, so both engines see identical intermediate text).  Stateless
+    per-batch map with compiled patterns; emits (doc_id, md5 of scrubbed
+    text, redaction count) so the driver compares content without
+    shipping the corpus."""
+    import hashlib
+    import re
+
+    email = re.compile(_PII_EMAIL)
+    ssn = re.compile(_PII_SSN)
+    phone = re.compile(_PII_PHONE)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, md5s, counts = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            n = (len(email.findall(t)) + len(ssn.findall(t))
+                 + len(phone.findall(t)))
+            s = phone.sub("<PHONE>", ssn.sub("<SSN>",
+                                             email.sub("<EMAIL>", t)))
+            ids.append(int(did))
+            md5s.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            counts.append(n)
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "clean_md5": md5s,
+            "n_redactions": np.array(counts, dtype=np.int64)})
+
+    return pii_augmented_docs(sf_dir).map_batches(fn,
+                                                  batch_format="pandas")
+
+
+DOC_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END
+      AS text
+  FROM documents)
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_PII_EMAIL}', '<EMAIL>', 'g'),
+      '{_PII_SSN}', '<SSN>', 'g'),
+      '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_md5,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+     + len(regexp_extract_all(text, '{_PII_SSN}'))
+     + len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+    AS n_redactions
+FROM aug
+"""
