@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": textops.doc_quality_filter,
         "doc_sample_stratified": textops.doc_sample_stratified,
         "doc_pii_scrub": textops.doc_pii_scrub,
+        "doc_token_count": textops.doc_token_count,
+        "doc_top_bigrams": textops.doc_top_bigrams,
+        "annotate_doc_entities": textops.annotate_doc_entities,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -180,6 +183,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": textops.DOC_QUALITY_SQL,
         "doc_sample_stratified": textops.DOC_SAMPLE_SQL,
         "doc_pii_scrub": textops.DOC_PII_SQL,
+        "doc_token_count": textops.DOC_TOKEN_COUNT_SQL,
+        "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
+        "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

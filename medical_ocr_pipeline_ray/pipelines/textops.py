@@ -600,3 +600,183 @@ SELECT doc_id,
     AS n_redactions
 FROM aug
 """
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish pretokenizer (cost estimation pass)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer shape restricted to the exact dialect subset
+# where Python re and DuckDB's RE2 tokenize identically: leftmost-first
+# alternation, no lookahead, ASCII classes (RE2 default match semantics
+# mirror Perl leftmost-first, so alternation order is load-bearing and
+# MUST stay the same on both sides — parity asserted in tests).
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_SQL_PAT = _BPE_PAT.replace("'", "''")
+
+
+def doc_token_count(sf_dir: str):
+    """Per-doc token counting — the pre-tokenizer cost estimate every
+    training-data pipeline runs before scheduling tokenizer jobs:
+    whitespace token count, BPE-ish pretoken count (GPT-2 pretokenizer
+    shape) and char count.  Stateless vectorized map (pandas ``str``
+    kernels, one C pass per column) — no shuffle, streams at read
+    bandwidth regardless of corpus size."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens_ws": texts.str.split().str.len().to_numpy(np.int64),
+            "n_tokens_bpe": texts.str.count(_BPE_PAT).to_numpy(np.int64),
+            "n_chars": texts.str.len().to_numpy(np.int64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS BIGINT)
+    AS n_tokens_bpe,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram counts (LM n-gram prep) — combiner + small exchange
+# ---------------------------------------------------------------------------
+
+def doc_top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus-wide bigram frequencies, top-k (count desc, bigram asc) —
+    the LM n-gram-count prep step.  Same scale shape as
+    ``relational.doc_top_tokens``: bigrams are pre-counted per batch
+    (combiner) so the exchange moves (bigram, partial_count) rows, never
+    the exploded n-gram stream; distinct-bigram cardinality grows ~
+    quadratically in vocabulary so the finish is ``local_topk`` (per-batch
+    head(k) + small merge), never a total sort."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.fingerprint import words
+    from .relational import local_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            w = words(t)
+            c.update(a + " " + b for a, b in zip(w, w[1:]))
+        if not c:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        grams, counts = zip(*sorted(c.items()))
+        return pd.DataFrame({"bigram": list(grams),
+                             "n": np.array(counts, dtype=np.int64)})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+    return local_topk(agg, ["n", "bigram"], [True, False], k)
+
+
+DOC_TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)
+SELECT bigram, count(*) AS n FROM (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM toks) t
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# entity annotation with a SQL oracle (planted-entity corpus)
+# ---------------------------------------------------------------------------
+
+def _entity_patterns():
+    """Single-source entity patterns shared by the Ray side and the SQL
+    oracle (built from functions/entities lexicons; inline ``(?i)`` so
+    Python re and RE2 agree on case folding)."""
+    from ..functions.entities import DRUG_TERMS, TEST_TERMS
+    drug = r"(?i)\b(" + "|".join(DRUG_TERMS) + r")\b"
+    dose = r"\b(\d+\s*mg)\b"
+    test = r"(?i)\b(" + "|".join(
+        t.replace(" ", r"\s+") for t in TEST_TERMS) + r")\b"
+    return drug, dose, test
+
+
+def entity_augmented_docs(sf_dir: str):
+    """documents ∪ deterministically planted clinical entities by doc_id
+    residue (the synth corpus has no natural drug/dose/test mentions) —
+    same planted-truth pattern as ``pii_augmented_docs``, reproduced
+    bit-identically in the SQL oracle."""
+    from ..functions.entities import DRUG_TERMS
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        texts = []
+        for did, t in zip(ids, df["text"]):
+            if did % 5 == 0:
+                t = (t + " took " + DRUG_TERMS[did % len(DRUG_TERMS)]
+                     + f" {100 + (did % 9) * 50} mg")
+            if did % 9 == 0:
+                t = t + " ordered blood count and lipid panel"
+            texts.append(t)
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def annotate_doc_entities(sf_dir: str):
+    """Entity-annotation counts per document over the planted corpus —
+    the SQL-oracled face of the NER-annotate analogue (M10; span-level
+    fidelity is covered by the pytest suite over
+    ``functions.entities.annotate_entities``).  Vectorized ``str.count``
+    per compiled pattern; stateless map, no shuffle."""
+    drug, dose, test = _entity_patterns()
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"]
+        nd = texts.str.count(drug).to_numpy(np.int64)
+        ns = texts.str.count(dose).to_numpy(np.int64)
+        nt = texts.str.count(test).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_drug": nd, "n_dose": ns, "n_test": nt,
+            "n_entities": nd + ns + nt})
+
+    return entity_augmented_docs(sf_dir).map_batches(
+        fn, batch_format="pandas")
+
+
+def _annotate_sql() -> str:
+    from ..functions.entities import DRUG_TERMS
+    drug, dose, test = (p.replace("'", "''") for p in _entity_patterns())
+    drug_list = ", ".join(f"'{d}'" for d in DRUG_TERMS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' took ' || [{drug_list}][(doc_id % {len(DRUG_TERMS)}) + 1]
+                 || ' ' || CAST(100 + (doc_id % 9) * 50 AS VARCHAR) || ' mg'
+            ELSE '' END
+    || CASE WHEN doc_id % 9 = 0
+            THEN ' ordered blood count and lipid panel' ELSE '' END
+      AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{drug}')) AS BIGINT) AS n_drug,
+  CAST(len(regexp_extract_all(text, '{dose}')) AS BIGINT) AS n_dose,
+  CAST(len(regexp_extract_all(text, '{test}')) AS BIGINT) AS n_test,
+  CAST(len(regexp_extract_all(text, '{drug}'))
+     + len(regexp_extract_all(text, '{dose}'))
+     + len(regexp_extract_all(text, '{test}')) AS BIGINT) AS n_entities
+FROM aug
+"""
+
+
+ANNOTATE_DOC_ENTITIES_SQL = _annotate_sql()
