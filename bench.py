@@ -63,6 +63,9 @@ BENCH_QUERIES = (
     "events_distinct_users_by_type",
     "doc_quality_filter",
     "doc_sample_stratified",
+    "doc_token_count",
+    "doc_top_bigrams",
+    "annotate_doc_entities",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

