@@ -610,9 +610,15 @@ FROM aug
 # where Python re and DuckDB's RE2 tokenize identically: leftmost-first
 # alternation, no lookahead, ASCII classes (RE2 default match semantics
 # mirror Perl leftmost-first, so alternation order is load-bearing and
-# MUST stay the same on both sides — parity asserted in tests).
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# MUST stay the same on both sides — parity property-tested on arbitrary
+# Unicode).  The whitespace class is spelled out because the shorthands
+# DIVERGE: Python \s (and str.split) cover Unicode whitespace
+# (\x1c-\x1f, \x85, \xa0, U+2000…) while RE2's \s is ASCII-only.
+_WS_CLASS = r" \t\n\r\f\v"
+_BPE_PAT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^A-Za-z0-9" + _WS_CLASS + "]+")
 _BPE_SQL_PAT = _BPE_PAT.replace("'", "''")
+_WS_TOKEN_PAT = "[^" + _WS_CLASS + "]+"
 
 
 def doc_token_count(sf_dir: str):
@@ -626,7 +632,8 @@ def doc_token_count(sf_dir: str):
         texts = df["text"]
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(),
-            "n_tokens_ws": texts.str.split().str.len().to_numpy(np.int64),
+            "n_tokens_ws": texts.str.count(_WS_TOKEN_PAT)
+            .to_numpy(np.int64),
             "n_tokens_bpe": texts.str.count(_BPE_PAT).to_numpy(np.int64),
             "n_chars": texts.str.len().to_numpy(np.int64)})
 
@@ -635,7 +642,8 @@ def doc_token_count(sf_dir: str):
 
 DOC_TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{_WS_TOKEN_PAT}')) AS BIGINT)
+    AS n_tokens_ws,
   CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS BIGINT)
     AS n_tokens_bpe,
   CAST(length(text) AS BIGINT) AS n_chars

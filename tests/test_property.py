@@ -107,3 +107,33 @@ def test_merge_docs_fold_associative_property(data):
                        fold_docs(parts[cut:]) if cut < len(parts)
                        else empty_doc())
     assert doc_to_json(whole) == doc_to_json(split)
+
+
+# ---------------------------------------------------------------------------
+# Regex dialect parity: the BPE-ish pretokenizer (and the \S+ whitespace
+# tokenizer) must count identically under Python re and DuckDB's RE2 —
+# the contract doc_token_count's oracle rests on (leftmost-first
+# alternation subset, no lookahead, ASCII classes).
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+def test_bpe_pretokenizer_dialect_parity(text):
+    import re
+
+    import duckdb
+
+    from medical_ocr_pipeline_ray.pipelines.textops import (_BPE_PAT,
+                                                            _BPE_SQL_PAT,
+                                                            _WS_TOKEN_PAT)
+
+    py_bpe = re.findall(_BPE_PAT, text)
+    py_ws = len(re.findall(_WS_TOKEN_PAT, text))
+    con = duckdb.connect()
+    sq_bpe, sq_ws = con.execute(
+        f"SELECT regexp_extract_all(?, '{_BPE_SQL_PAT}'),"
+        f" len(regexp_extract_all(?, '{_WS_TOKEN_PAT}'))",
+        [text, text]).fetchone()
+    assert py_bpe == sq_bpe
+    assert py_ws == sq_ws
