@@ -518,10 +518,11 @@ WHERE (doc_id * 2654435761) % 100 <
 
 
 # PII patterns chosen for RE2/Python dialect parity (verified: DuckDB
-# regexp_replace(...,'g') and re.sub agree on these classes)
+# regexp_replace(...,'g') and re.sub agree on these classes).  [0-9] is
+# deliberate — Python's \d also matches Unicode digits, RE2's doesn't.
 _PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-_PII_SSN = r"\d{3}-\d{2}-\d{4}"
-_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
 def pii_augmented_docs(sf_dir: str):
@@ -709,10 +710,14 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 def _entity_patterns():
     """Single-source entity patterns shared by the Ray side and the SQL
     oracle (built from functions/entities lexicons; inline ``(?i)`` so
-    Python re and RE2 agree on case folding)."""
+    Python re and RE2 agree on case folding).  ``[0-9]`` over ``\\d``
+    for dialect parity; ``\\b`` and ``\\s`` agree between the dialects
+    on ASCII text, which is what the planted corpus is — non-ASCII
+    neighborhoods could flip a boundary (Python's \\w is Unicode,
+    RE2's is ASCII)."""
     from ..functions.entities import DRUG_TERMS, TEST_TERMS
     drug = r"(?i)\b(" + "|".join(DRUG_TERMS) + r")\b"
-    dose = r"\b(\d+\s*mg)\b"
+    dose = r"\b([0-9]+\s*mg)\b"
     test = r"(?i)\b(" + "|".join(
         t.replace(" ", r"\s+") for t in TEST_TERMS) + r")\b"
     return drug, dose, test
