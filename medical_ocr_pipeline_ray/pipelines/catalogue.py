@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": textops.doc_token_count,
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
+        "doc_decontaminate": textops.doc_decontaminate,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": textops.DOC_TOKEN_COUNT_SQL,
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
+        "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

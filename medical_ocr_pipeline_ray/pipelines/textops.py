@@ -795,3 +795,84 @@ FROM aug
 
 
 ANNOTATE_DOC_ENTITIES_SQL = _annotate_sql()
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (k-shingle overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+def doc_decontaminate(sf_dir: str, k: int = 5, eval_n: int = 100):
+    """Benchmark decontamination — flag corpus documents sharing any word
+    ``k``-shingle with a held-out eval set, with their distinct-overlap
+    count (the pre-training hygiene pass every public corpus runs against
+    benchmark suites).
+
+    The eval set here is derived deterministically (the ``eval_n`` lowest
+    Knuth-hash doc_ids via ``local_topk`` — FIXED size, not a corpus
+    fraction) so the oracle can reproduce it; in production it is an
+    external benchmark file.  Either way it is megabytes while the corpus
+    is 100 TB, so broadcasting the eval shingle set via ``ray.put`` and
+    probing it inside a stateless batch filter is the correct small-side
+    design — the corpus never shuffles at all."""
+    import ray
+
+    from ..functions.fingerprint import words
+    from .relational import local_topk
+
+    ds = _docs(sf_dir)
+
+    def hkey(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy().astype(np.int64)
+             * np.int64(2654435761)) % np.int64(1 << 32)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "text": df["text"], "hkey": h})
+
+    eval_df = local_topk(ds.map_batches(hkey, batch_format="pandas"),
+                         ["hkey", "doc_id"], [False, False],
+                         eval_n).to_pandas()
+
+    def doc_shingles(t: str) -> set:
+        w = words(t)
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    eval_ids = frozenset(int(i) for i in eval_df["doc_id"])
+    eval_sh = frozenset().union(*map(doc_shingles, eval_df["text"]))
+    ref = ray.put((eval_ids, eval_sh))
+
+    def flag(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        ids_, sh_ = ray.get(_ref)
+        out_id, out_n = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            if int(did) in ids_:
+                continue
+            n = len(doc_shingles(t) & sh_)
+            if n:
+                out_id.append(int(did))
+                out_n.append(n)
+        return pd.DataFrame({"doc_id": np.array(out_id, dtype=np.int64),
+                             "n_overlap": np.array(out_n, dtype=np.int64)})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+DOC_DECONTAMINATE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+         (doc_id * 2654435761) % 4294967296 AS hkey
+  FROM documents),
+eval_ids AS (SELECT doc_id FROM ranked ORDER BY hkey, doc_id LIMIT 100),
+shingled AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(w) - 4),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           || ' ' || w[i+4]))) AS sh
+  FROM ranked),
+eval_sh AS (
+  SELECT DISTINCT sh FROM shingled
+  WHERE doc_id IN (SELECT doc_id FROM eval_ids))
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM shingled s JOIN eval_sh USING (sh)
+WHERE s.doc_id NOT IN (SELECT doc_id FROM eval_ids)
+GROUP BY s.doc_id
+"""
