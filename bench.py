@@ -67,6 +67,7 @@ BENCH_QUERIES = (
     "doc_top_bigrams",
     "annotate_doc_entities",
     "doc_decontaminate",
+    "embedding_label_centroids",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
         "doc_decontaminate": textops.doc_decontaminate,
+        "embedding_label_centroids":
+            similarity.embedding_label_centroids,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,
+        "embedding_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

@@ -490,3 +490,59 @@ def knn_ivf_pruned(sf_dir: str, k: int = 10, n_centroids: int = 16,
     return pd.DataFrame({
         "rank": np.arange(1, len(top) + 1, dtype=np.int64),
         "vec_id": top["vec_id"].astype(np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids (k-means E-step / nearest-centroid classifier prep)
+# ---------------------------------------------------------------------------
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroids over the labeled corpus — the
+    distributed k-means assignment-step shape and the nearest-centroid
+    classifier's training pass.  Per-batch partials carry (label, count,
+    float64 sum-vector bytes): label cardinality is small and bounded,
+    so the partial set is tiny (n_blocks × n_labels rows) and finishes
+    locally — the vector corpus itself never shuffles.  Output is
+    long-format (label, dim, centroid) rounded to 6 dp: both engines sum
+    the same float set in different orders, and 1e-6 agreement is the
+    repo's float contract (same as the kNN cosine rounding)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = _emb_matrix(df)
+        lab = df["label"].to_numpy().astype(np.int64)
+        labs, ns, sums = [], [], []
+        for lv in np.unique(lab):
+            m = lab == lv
+            labs.append(int(lv))
+            ns.append(int(m.sum()))
+            sums.append(e[m].sum(axis=0).tobytes())
+        return pd.DataFrame({
+            "label": np.array(labs, dtype=np.int64),
+            "n": np.array(ns, dtype=np.int64),
+            "vsum": pd.Series(sums, dtype=object)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for lv, g in parts.groupby("label"):
+        s = np.sum([np.frombuffer(b, dtype=np.float64) for b in g["vsum"]],
+                   axis=0)
+        c = np.round(s / int(g["n"].sum()), 6)
+        rows.extend((int(lv), d, float(v))
+                    for d, v in enumerate(c, start=1))
+    out = pd.DataFrame(rows, columns=["label", "dim", "centroid"])
+    out["label"] = out["label"].astype(np.int64)
+    out["dim"] = out["dim"].astype(np.int64)
+    return out
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(v), 6) AS centroid
+FROM e GROUP BY label, dim
+"""

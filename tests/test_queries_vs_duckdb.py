@@ -71,7 +71,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "doc_quality_filter", "doc_sample_stratified",
     "semi_join_customers_bloom", "doc_pii_scrub",
     "doc_token_count", "doc_top_bigrams", "annotate_doc_entities",
-    "doc_decontaminate",
+    "doc_decontaminate", "embedding_label_centroids",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
