@@ -68,6 +68,7 @@ BENCH_QUERIES = (
     "annotate_doc_entities",
     "doc_decontaminate",
     "embedding_label_centroids",
+    "doc_repetition_stats",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
         "doc_decontaminate": textops.doc_decontaminate,
+        "doc_repetition_stats": textops.doc_repetition_stats,
         "embedding_label_centroids":
             similarity.embedding_label_centroids,
         # dedup family
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,
+        "doc_repetition_stats": textops.DOC_REPETITION_SQL,
         "embedding_label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":

@@ -876,3 +876,59 @@ FROM shingled s JOIN eval_sh USING (sh)
 WHERE s.doc_id NOT IN (SELECT doc_id FROM eval_ids)
 GROUP BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher repetition-removal signals)
+# ---------------------------------------------------------------------------
+
+def doc_repetition_stats(sf_dir: str):
+    """Per-doc repetition signals from the Gopher-rule family (duplicate
+    token mass, dominant-token mass) — the inputs to repetition-removal
+    gates.  Stateless per-batch map; fractions are single IEEE divisions
+    of exact integer counts, so both engines produce identical doubles.
+    """
+    from collections import Counter
+
+    from ..functions.fingerprint import words
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        n_l, nd_l, dup_l, top_l = [], [], [], []
+        for t in df["text"]:
+            c = Counter(words(t))
+            n = sum(c.values())
+            nd = len(c)
+            n_l.append(n)
+            nd_l.append(nd)
+            dup_l.append((n - nd) / n if n else 0.0)
+            top_l.append(max(c.values()) / n if n else 0.0)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": np.array(n_l, dtype=np.int64),
+            "n_distinct": np.array(nd_l, dtype=np.int64),
+            "dup_token_frac": np.array(dup_l, dtype=np.float64),
+            "top_token_frac": np.array(top_l, dtype=np.float64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+cnt AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+  GROUP BY doc_id, tok),
+tops AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS n, count(*) AS nd
+  FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+  CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct,
+  CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+       ELSE (n - nd) / CAST(n AS DOUBLE) END AS dup_token_frac,
+  CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+       ELSE topc / CAST(n AS DOUBLE) END AS top_token_frac
+FROM t LEFT JOIN tops USING (doc_id)
+"""
