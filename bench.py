@@ -69,6 +69,7 @@ BENCH_QUERIES = (
     "doc_decontaminate",
     "embedding_label_centroids",
     "doc_repetition_stats",
+    "knn_label_predict",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

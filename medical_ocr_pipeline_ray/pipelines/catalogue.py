@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_range_search": similarity.knn_range_search,
+        "knn_label_predict": similarity.knn_label_predict,
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "knn_ivf_pruned": similarity.knn_ivf_pruned,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "knn_brute_force": similarity.KNN_SQL,
         "knn_range_search": similarity.KNN_RANGE_SQL,
+        "knn_label_predict": similarity.KNN_LABEL_PREDICT_SQL,
         "doc_term_first_pos": textops.DOC_TERM_FIRST_POS_SQL,
         "doc_quality_filter": textops.DOC_QUALITY_SQL,
         "doc_sample_stratified": textops.DOC_SAMPLE_SQL,

@@ -546,3 +546,52 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        round(avg(v), 6) AS centroid
 FROM e GROUP BY label, dim
 """
+
+
+def knn_label_predict(sf_dir: str, k: int = 10):
+    """k-NN majority-vote classification of the query vector over the
+    labeled corpus — brute-force scoring (same scale shape as
+    ``knn_brute_force``: vectorized per-batch matmul against the
+    broadcast query, ``local_topk`` merge), then a trivial local vote
+    over the k survivors.  Ties break to the smaller label, cosine ties
+    to the smaller vec_id — deterministic on both engines."""
+    q = _query_vec(sf_dir)
+    qn = np.linalg.norm(q)
+    qref = ray.put(q)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def score(df: pd.DataFrame, _qref=qref, _qn=qn) -> pd.DataFrame:
+        e = _emb_matrix(df)
+        qv = ray.get(_qref)
+        sims = (e @ qv) / (np.linalg.norm(e, axis=1) * _qn)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(),
+                             "label": df["label"].to_numpy()
+                             .astype(np.int64),
+                             "cosine": sims})
+
+    from .relational import local_topk
+    top = local_topk(ds.map_batches(score, batch_format="pandas"),
+                     ["cosine", "vec_id"], [True, False], k).to_pandas()
+    votes = top.groupby("label", as_index=False).size() \
+        .sort_values(["size", "label"], ascending=[False, True])
+    return pd.DataFrame({
+        "pred_label": np.array([votes["label"].iloc[0]], dtype=np.int64),
+        "n_votes": np.array([votes["size"].iloc[0]], dtype=np.int64)})
+
+
+KNN_LABEL_PREDICT_SQL = """
+WITH top AS (
+  SELECT label,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC,
+           vec_id) AS rank
+  FROM embeddings
+  QUALIFY rank <= 10)
+SELECT CAST(label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_votes
+FROM top GROUP BY label
+ORDER BY n_votes DESC, pred_label LIMIT 1
+"""

@@ -72,7 +72,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "semi_join_customers_bloom", "doc_pii_scrub",
     "doc_token_count", "doc_top_bigrams", "annotate_doc_entities",
     "doc_decontaminate", "embedding_label_centroids",
-    "doc_repetition_stats",
+    "doc_repetition_stats", "knn_label_predict",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
