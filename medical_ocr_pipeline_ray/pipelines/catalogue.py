@@ -19,8 +19,8 @@ from typing import Any
 from ..config import DEFAULT_PIPELINE
 from ..sources.transcripts import read_transcripts
 from ..synth import tier_for_sf_dir
-from . import (dedup, documents, multimodal, qa, relational, segments,
-               similarity, textops)
+from . import (corpus, dedup, documents, multimodal, qa, relational,
+               segments, similarity, textops)
 from .extract_pipeline import build_turns_pipeline
 from ..stages.assemble import assemble_conversations
 
@@ -131,6 +131,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": textops.doc_repetition_stats,
         "embedding_label_centroids":
             similarity.embedding_label_centroids,
+        # corpus-construction ops (segment dedup, chunking, LM scoring,
+        # inverted index, URL harvest, sequence packing) — all exact,
+        # all SQL-oracled (pipelines/corpus.py)
+        "doc_segment_dedup": corpus.doc_segment_dedup,
+        "doc_chunks": corpus.doc_chunks,
+        "doc_unigram_commonness": corpus.doc_unigram_commonness,
+        "bigram_postings": corpus.bigram_postings,
+        "doc_domain_counts": corpus.doc_domain_counts,
+        "doc_pack_bins": corpus.doc_pack_bins,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -195,6 +204,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,
         "doc_repetition_stats": textops.DOC_REPETITION_SQL,
         "embedding_label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "doc_segment_dedup": corpus.DOC_SEGMENT_DEDUP_SQL,
+        "doc_chunks": corpus.DOC_CHUNKS_SQL,
+        "doc_unigram_commonness": corpus.DOC_UNIGRAM_SQL,
+        "bigram_postings": corpus.BIGRAM_POSTINGS_SQL,
+        "doc_domain_counts": corpus.DOC_DOMAIN_SQL,
+        "doc_pack_bins": corpus.DOC_PACK_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

@@ -1,0 +1,559 @@
+"""Corpus-construction operators over the ``documents`` table.
+
+The second half of the training-data toolbox (first half: textops.py /
+dedup.py): segment-level global dedup, RAG chunking, unigram-LM
+commonness scoring, a df-capped inverted index, URL/domain harvesting
+and distributed sequence packing.  Every operator here is EXACT and
+carries a bit-equal DuckDB oracle (the *_SQL strings) — semantics are
+designed for cross-engine equality (ASCII regex classes, integer
+arithmetic, single final IEEE divisions, deterministic tie-breaks; see
+pipelines/relational.py design rules).
+
+Scale shapes used (all established patterns in this repo):
+- bucketed exchange by ``crc32(key) % P`` with ``P =
+  partitioning.buckets_for(bytes)`` — a key lives in exactly one bucket,
+  so bucket-local aggregates are exact global aggregates
+  (doc_segment_dedup, doc_unigram_commonness, bigram_postings);
+- per-batch combiner + tiny bounded-key groupby (doc_domain_counts);
+- distributed prefix scan: per-range-bucket totals (P scalars to the
+  driver) → broadcast offsets → bucket-local cumsum (doc_pack_bins);
+- stateless vectorized batch map (doc_chunks).
+
+Reference parity: the reference has no corpus layer (it is a per-page
+OCR orchestration); these generalize its text-normalization semantics
+(notebooks/qa_pipeline_evaluator.py:322-325 term harvest,
+notebooks/04_json_extraction.ipynb:~89 chunks_by_size) to the
+corpus-wide operations a 100 TB pre-training pipeline needs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from ..functions.fingerprint import words
+from ..partitioning import buckets_for, table_bytes
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=list(columns))
+
+
+def _doc_buckets(sf_dir: str, n_buckets: int | None) -> int:
+    return n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# segment-level global dedup (CCNet-style paragraph dedup, determinized)
+# ---------------------------------------------------------------------------
+
+_SEG_WORDS = 10          # words per segment (synth docs are single-line,
+#                          so "paragraphs" are determinized as disjoint
+#                          10-word windows — the shuffle shape is identical
+#                          to newline-paragraph dedup on real web text)
+
+
+def doc_segment_dedup(sf_dir: str, n_buckets: int | None = None):
+    """Corpus-global segment dedup — the CCNet/C4-style pass that removes
+    boilerplate paragraphs repeated ACROSS documents (not within, which
+    is doc_repetition_stats' job): a segment occurrence survives iff its
+    (doc_id, seg_idx) is the global minimum over all occurrences of that
+    segment string.  Emits per doc: segment counts and the md5 of the
+    cleaned text (kept segments joined in order).
+
+    Two bucketed exchanges, exact at any scale:
+    1. segments shuffle by ``crc32(seg) % P``; ALL occurrences of a
+       segment land in one bucket, so the keep/drop mark is a
+       bucket-local first-by-(doc_id, seg_idx).  Dropped rows have their
+       text nulled before the second exchange — only surviving text
+       travels twice.
+    2. marked rows shuffle by ``doc_id % P`` and fold per doc (sort by
+       seg_idx, join kept, md5).
+    """
+    n_b = _doc_buckets(sf_dir, n_buckets)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, segs = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            w = words(t)
+            if not w:
+                continue
+            did = int(did)
+            for i in range(0, (len(w) + _SEG_WORDS - 1) // _SEG_WORDS):
+                ids.append(did)
+                idxs.append(i)
+                segs.append(" ".join(
+                    w[i * _SEG_WORDS:(i + 1) * _SEG_WORDS]))
+        sb = np.fromiter((zlib.crc32(s.encode()) % n_b for s in segs),
+                         dtype=np.int64, count=len(segs))
+        return pd.DataFrame({
+            "sb": sb.astype(np.int32),
+            "doc_id": np.array(ids, dtype=np.int64),
+            "seg_idx": np.array(idxs, dtype=np.int64),
+            "seg": pd.Series(segs, dtype=object)})
+
+    segs = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg", "doc_id", "seg_idx"], kind="mergesort")
+        keep = ~g["seg"].duplicated()
+        seg = g["seg"].where(keep, "")      # drop dup text before exchange 2
+        return pd.DataFrame({
+            "db": (g["doc_id"].to_numpy() % n_b).astype(np.int32),
+            "doc_id": g["doc_id"].to_numpy(),
+            "seg_idx": g["seg_idx"].to_numpy(),
+            "seg": seg.to_numpy(),
+            "keep": keep.to_numpy()})
+
+    marked = segs.groupby("sb").map_groups(mark, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "seg_idx"], kind="mergesort")
+        rows = []
+        for did, d in g.groupby("doc_id", sort=False):
+            kept = d.loc[d["keep"], "seg"]
+            rows.append({
+                "doc_id": int(did),
+                "n_segments": len(d),
+                "n_kept": int(d["keep"].sum()),
+                "clean_md5": hashlib.md5(
+                    " ".join(kept).encode("utf-8")).hexdigest()})
+        out = pd.DataFrame(rows, columns=["doc_id", "n_segments",
+                                          "n_kept", "clean_md5"])
+        return out.astype({"doc_id": np.int64, "n_segments": np.int64,
+                           "n_kept": np.int64})
+
+    return marked.groupby("db").map_groups(fold, batch_format="pandas")
+
+
+DOC_SEGMENT_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+segs AS (
+  SELECT doc_id,
+    unnest(generate_series(0,
+      CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT) - 1)) AS seg_idx,
+    unnest(list_transform(
+      generate_series(0, CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT) - 1),
+      i -> array_to_string(
+        w[(i * {_SEG_WORDS} + 1):(i * {_SEG_WORDS} + {_SEG_WORDS})], ' ')))
+      AS seg
+  FROM w WHERE len(w) > 0),
+marked AS (
+  SELECT doc_id, seg_idx, seg,
+    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                          ORDER BY seg_idx), '')) AS clean_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking (RAG / context-window prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 120
+_CHUNK_STRIDE = 80
+
+
+def doc_chunks(sf_dir: str):
+    """Overlapping sliding-window chunking (window {_CHUNK_CHARS} chars,
+    stride {_CHUNK_STRIDE}) — the RAG-indexing / context-window prep op;
+    char-budget splitting generalizes the reference's ~90k-char
+    ``chunks_by_size`` guard (notebooks/04_json_extraction.ipynb:~89).
+    Emits (doc_id, chunk_idx, chunk_md5, n_chunk_chars) so the driver
+    compares content without shipping chunk text.  Stateless per-batch
+    map, no shuffle — streams at read bandwidth."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, md5s, lens = [], [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            n = len(t)
+            if n == 0:
+                continue
+            did = int(did)
+            for i in range(0, (n - 1) // _CHUNK_STRIDE + 1):
+                c = t[i * _CHUNK_STRIDE:i * _CHUNK_STRIDE + _CHUNK_CHARS]
+                ids.append(did)
+                idxs.append(i)
+                md5s.append(hashlib.md5(c.encode("utf-8")).hexdigest())
+                lens.append(len(c))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "chunk_idx": np.array(idxs, dtype=np.int64),
+            "chunk_md5": pd.Series(md5s, dtype=object),
+            "n_chunk_chars": np.array(lens, dtype=np.int64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_CHUNKS_SQL = f"""
+SELECT doc_id,
+  unnest(generate_series(0,
+    CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0) AS BIGINT)))
+    AS chunk_idx,
+  unnest(list_transform(
+    generate_series(0,
+      CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0) AS BIGINT)),
+    i -> md5(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                    {_CHUNK_CHARS})))) AS chunk_md5,
+  unnest(list_transform(
+    generate_series(0,
+      CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0) AS BIGINT)),
+    i -> CAST(length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS INTEGER),
+                            {_CHUNK_CHARS})) AS BIGINT)))
+    AS n_chunk_chars
+FROM documents WHERE length(text) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM commonness scoring (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+def doc_unigram_commonness(sf_dir: str, n_buckets: int | None = None):
+    """Unigram language-model commonness score per document — the
+    perplexity-proxy quality signal (CCNet uses a KenLM; the unigram
+    integer form keeps the identical dataflow while staying bit-exact):
+    for each token occurrence, its corpus-wide count; per doc the sum
+    (``freq_sum``) and mean.  High mean = stereotyped text, low mean =
+    rare-token (noisy or novel) text.
+
+    Same token-partitioned two-exchange shape as doc_tfidf_top_terms —
+    explode (term, doc, tf), shuffle by ``crc32(term) % P`` where the
+    bucket-local ``sum(tf)`` per term IS its exact corpus count (no
+    driver vocabulary, no broadcast DF map) — but integer arithmetic
+    end-to-end, so unlike TF-IDF it carries a bit-equal SQL oracle.  The
+    one float (``mean_token_freq``) is a single IEEE division of exact
+    int64s, identical across engines.  int64 bound: freq_sum ≤
+    n_doc_tokens × max_term_count — overflows only past ~3e9-token terms
+    on 3e9-token docs; web corpora cap doc length long before that."""
+    n_b = _doc_buckets(sf_dir, n_buckets)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            c = Counter(words(t))
+            did = int(did)
+            for w, n in c.items():
+                ids.append(did)
+                terms.append(w)
+                tfs.append(n)
+        tb = np.fromiter((zlib.crc32(w.encode()) % n_b for w in terms),
+                         dtype=np.int64, count=len(terms))
+        return pd.DataFrame({
+            "tb": tb.astype(np.int32),
+            "term": pd.Series(terms, dtype=object),
+            "doc_id": np.array(ids, dtype=np.int64),
+            "tf": np.array(tfs, dtype=np.int64)})
+
+    exploded = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        # corpus count of a term is complete inside its token bucket
+        c = g.groupby("term", sort=False)["tf"].transform("sum") \
+            .to_numpy(dtype=np.int64)
+        tf = g["tf"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "db": (g["doc_id"].to_numpy() % n_b).astype(np.int32),
+            "doc_id": g["doc_id"].to_numpy(),
+            "tf": tf,
+            "contrib": tf * c})
+
+    contribs = exploded.groupby("tb").map_groups(score,
+                                                 batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False).agg(
+            n_tokens=("tf", "sum"), freq_sum=("contrib", "sum"))
+        return pd.DataFrame({
+            "doc_id": agg.index.to_numpy().astype(np.int64),
+            "n_tokens": agg["n_tokens"].to_numpy(np.int64),
+            "freq_sum": agg["freq_sum"].to_numpy(np.int64),
+            "mean_token_freq":
+                agg["freq_sum"].to_numpy(np.float64)
+                / agg["n_tokens"].to_numpy(np.float64)})
+
+    return contribs.groupby("db").map_groups(fold, batch_format="pandas")
+
+
+DOC_UNIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS tok
+  FROM documents),
+cc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+d AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok)
+SELECT doc_id,
+  CAST(sum(tf) AS BIGINT) AS n_tokens,
+  CAST(sum(tf * c) AS BIGINT) AS freq_sum,
+  CAST(sum(tf * c) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+    AS mean_token_freq
+FROM d JOIN cc USING (tok)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# df-capped inverted index (bigram postings)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_MIN_DF = 2
+_POSTINGS_MAX_DF = 40
+
+
+def bigram_postings(sf_dir: str, n_buckets: int | None = None):
+    """Inverted-index build: posting lists (sorted doc_ids) per bigram,
+    df-banded to [{_POSTINGS_MIN_DF}, {_POSTINGS_MAX_DF}] — the standard
+    IR pruning (hapax noise below, stopword-grade terms above; the band
+    bounds every posting string by construction, so no silent cap is
+    needed).  One bucketed exchange by ``crc32(bigram) % P``: a bigram's
+    rows all land in one bucket, so df / total / postings are exact
+    bucket-local aggregates; the per-(bigram, doc) pre-count inside
+    ``map_batches`` is the combiner that keeps the exchange at
+    distinct-pair granularity."""
+    n_b = _doc_buckets(sf_dir, n_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for did, t in zip(df["doc_id"], df["text"]):
+            w = words(t)
+            did = int(did)
+            for bg in map(" ".join, zip(w, w[1:])):
+                c[(bg, did)] += 1
+        if not c:
+            return pd.DataFrame({
+                "bb": pd.Series([], dtype=np.int32),
+                "bigram": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        keys = sorted(c)
+        grams = [k[0] for k in keys]
+        bb = np.fromiter((zlib.crc32(g.encode()) % n_b for g in grams),
+                         dtype=np.int64, count=len(grams))
+        return pd.DataFrame({
+            "bb": bb.astype(np.int32),
+            "bigram": pd.Series(grams, dtype=object),
+            "doc_id": np.array([k[1] for k in keys], dtype=np.int64),
+            "n": np.array([c[k] for k in keys], dtype=np.int64)})
+
+    pairs = _docs(sf_dir).map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # a (bigram, doc) pair can span batches — re-sum, then band by df
+        g = g.groupby(["bigram", "doc_id"], as_index=False)["n"].sum()
+        g = g.sort_values(["bigram", "doc_id"], kind="mergesort")
+        rows = []
+        for bg, d in g.groupby("bigram", sort=False):
+            df_ = len(d)
+            if not (_POSTINGS_MIN_DF <= df_ <= _POSTINGS_MAX_DF):
+                continue
+            rows.append({
+                "bigram": bg, "df": df_,
+                "n_occ": int(d["n"].sum()),
+                "postings": ",".join(str(int(i)) for i in d["doc_id"])})
+        out = pd.DataFrame(rows, columns=["bigram", "df", "n_occ",
+                                          "postings"])
+        return out.astype({"df": np.int64, "n_occ": np.int64})
+
+    return pairs.groupby("bb").map_groups(fold, batch_format="pandas")
+
+
+BIGRAM_POSTINGS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i + 1]))
+    AS bigram
+  FROM t WHERE len(w) > 1),
+per AS (
+  SELECT bigram, doc_id, count(*) AS n FROM bg GROUP BY bigram, doc_id)
+SELECT bigram, CAST(count(*) AS BIGINT) AS df,
+  CAST(sum(n) AS BIGINT) AS n_occ,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM per GROUP BY bigram
+HAVING count(*) BETWEEN {_POSTINGS_MIN_DF} AND {_POSTINGS_MAX_DF}
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL harvest / per-domain stats (planted-truth corpus)
+# ---------------------------------------------------------------------------
+
+# ASCII classes for RE2/Python dialect parity (same rule as the PII
+# patterns, textops.py); one capture group -> re.findall and DuckDB
+# regexp_extract_all(..., 1) both return the domain alone.
+_URL_DOMAIN_PAT = r"https?://([A-Za-z0-9.\-]+)"
+
+
+def url_augmented_docs(sf_dir: str):
+    """documents ∪ deterministically planted URLs by doc_id residue (the
+    synth corpus has no natural URLs) — same planted-truth pattern as
+    ``textops.pii_augmented_docs``, reproduced bit-identically in the
+    SQL oracle."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        texts = []
+        for did, t in zip(ids, df["text"]):
+            did = int(did)
+            if did % 4 == 0:
+                t = t + f" see https://ex{did % 10}.example.com/p/{did}"
+            if did % 6 == 0:
+                t = t + f" and http://site{did % 7}.org/q{did}"
+            texts.append(t)
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+def doc_domain_counts(sf_dir: str):
+    """Per-domain URL statistics over the (URL-planted) corpus — the
+    link-graph / domain-blocklist prep pass of a web-corpus pipeline:
+    total URL mentions and distinct-document counts per domain.  Scale
+    shape: per-batch combiner (domain is bounded-cardinality, and a doc
+    lives in exactly one batch so per-batch distinct-doc counts sum
+    exactly) → one tiny groupby over domains."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    rx = re.compile(_URL_DOMAIN_PAT)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        urls: Counter = Counter()
+        docs: Counter = Counter()
+        for t in df["text"]:
+            ds_ = rx.findall(t)
+            if not ds_:
+                continue
+            urls.update(ds_)
+            docs.update(set(ds_))
+        if not urls:
+            return pd.DataFrame({
+                "domain": pd.Series([], dtype=object),
+                "n_urls": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64)})
+        doms = sorted(urls)
+        return pd.DataFrame({
+            "domain": pd.Series(doms, dtype=object),
+            "n_urls": np.array([urls[d] for d in doms], dtype=np.int64),
+            "n_docs": np.array([docs[d] for d in doms], dtype=np.int64)})
+
+    return url_augmented_docs(sf_dir) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("domain").aggregate(Sum("n_urls", alias_name="n_urls"),
+                                     Sum("n_docs", alias_name="n_docs"))
+
+
+DOC_DOMAIN_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' see https://ex' || CAST(doc_id % 10 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 6 = 0
+            THEN ' and http://site' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.org/q' || CAST(doc_id AS VARCHAR)
+            ELSE '' END
+      AS text
+  FROM documents),
+u AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(text, '{_URL_DOMAIN_PAT}', 1)) AS domain
+  FROM aug)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2000        # tokens per packed training sequence
+
+
+def doc_pack_bins(sf_dir: str, budget: int = _PACK_BUDGET,
+                  n_buckets: int | None = None):
+    """Pack documents into fixed token-budget training sequences
+    (bin_id, bin_offset per doc, docs in doc_id order) — the
+    sample-packing pass that turns a filtered corpus into fixed-length
+    pre-training rows.  ``bin_id = floor(prefix_tokens / budget)`` where
+    ``prefix_tokens`` is the token count of all lower-doc_id docs: the
+    no-reset packing rule, chosen because it is a pure prefix sum and
+    therefore parallelizes exactly (greedy reset packing is inherently
+    sequential).
+
+    Distributed prefix-scan shape, exact at any scale: docs range-bucket
+    by ``doc_id * P // (max_id + 1)`` (contiguous doc_id ranges); pass 1
+    computes the slim (doc_id, n_tokens, bucket) table ONCE (text read
+    once, 24 bytes/doc retained); per-bucket token totals — P scalars,
+    never rows — come to the driver for the cumulative offsets; pass 2
+    folds each bucket locally (sort by doc_id, cumsum + bucket offset).
+    """
+    n_b = _doc_buckets(sf_dir, n_buckets)
+    max_id = int(_docs(sf_dir, columns=("doc_id",)).max("doc_id"))
+    span = max_id + 1
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        nt = np.fromiter((len(words(t)) for t in df["text"]),
+                         dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            "rb": (ids * n_b // span).astype(np.int32),
+            "doc_id": ids, "n_tokens": nt})
+
+    counts = _docs(sf_dir).map_batches(count, batch_format="pandas") \
+        .materialize()      # slim 3-int table; re-read twice below
+
+    totals = counts.groupby("rb").sum("n_tokens").to_pandas() \
+        .sort_values("rb")
+    offs = np.zeros(n_b, dtype=np.int64)
+    cum = 0
+    for rb, s in zip(totals["rb"], totals["sum(n_tokens)"]):
+        offs[int(rb)] = cum
+        cum += int(s)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tokens"].to_numpy(np.int64)
+        prefix = np.cumsum(nt) - nt + offs[int(g["rb"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": nt,
+            "bin_id": prefix // budget,
+            "bin_offset": prefix % budget})
+
+    return counts.groupby("rb").map_groups(fold, batch_format="pandas")
+
+
+DOC_PACK_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+  FROM documents),
+p AS (
+  SELECT doc_id, nt,
+    COALESCE(sum(nt) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM n)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+  CAST(prefix % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM p
+"""
