@@ -70,6 +70,15 @@ BENCH_QUERIES = (
     "embedding_label_centroids",
     "doc_repetition_stats",
     "knn_label_predict",
+    # corpus-construction + wide-relational operators
+    "doc_segment_dedup",
+    "doc_unigram_commonness",
+    "bigram_postings",
+    "doc_pack_bins",
+    "doc_dup_spans",
+    "doc_vocab_oov",
+    "q5_region_revenue",
+    "events_gap_stats",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_postings": corpus.bigram_postings,
         "doc_domain_counts": corpus.doc_domain_counts,
         "doc_pack_bins": corpus.doc_pack_bins,
+        "doc_dup_spans": corpus.doc_dup_spans,
+        "doc_vocab_oov": corpus.doc_vocab_oov,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "events_gap_stats": relational.events_gap_stats,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -210,6 +214,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_postings": corpus.BIGRAM_POSTINGS_SQL,
         "doc_domain_counts": corpus.DOC_DOMAIN_SQL,
         "doc_pack_bins": corpus.DOC_PACK_SQL,
+        "doc_dup_spans": corpus.DOC_DUP_SPANS_SQL,
+        "doc_vocab_oov": corpus.DOC_VOCAB_OOV_SQL,
+        "q5_region_revenue": relational.Q5_SQL,
+        "events_gap_stats": relational.EVENTS_GAP_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

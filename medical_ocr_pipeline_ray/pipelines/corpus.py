@@ -557,3 +557,177 @@ SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
   CAST(prefix % {_PACK_BUDGET} AS BIGINT) AS bin_offset
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span detection (sliding k-gram, Lee et al. style)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8              # tokens per sliding gram
+
+
+def doc_dup_spans(sf_dir: str, n_buckets: int | None = None):
+    """Exact duplicated-span profiling — the sliding-window form of
+    corpus-global dedup ("Deduplicating Training Data Makes Language
+    Models Better": substrings repeated across a corpus are memorization
+    hotspots).  For every length-{_SPAN_K} token window, mark it
+    duplicated iff its gram occurs ≥ 2 times corpus-wide (any doc, any
+    position); per doc emit window count, duplicated-window count and
+    the duplicated fraction.
+
+    Two bucketed exchanges, exact at any scale (same skeleton as
+    doc_segment_dedup but windows SLIDE, so a gram's corpus count needs
+    all occurrences — bucket by ``crc32(gram) % P``, where the
+    bucket-local occurrence count per gram IS its corpus count):
+    explode → gram-bucket mark + per-(doc) partial counts → doc-bucket
+    fold.  Exchange 2 moves ≤ P rows per doc (partials), never grams.
+    Docs shorter than {_SPAN_K} words have no window and are excluded
+    (mirrors the SQL's ``len(w) >= {_SPAN_K}``)."""
+    n_b = _doc_buckets(sf_dir, n_buckets)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            w = words(t)
+            if len(w) < _SPAN_K:
+                continue
+            did = int(did)
+            for i in range(len(w) - _SPAN_K + 1):
+                ids.append(did)
+                grams.append(" ".join(w[i:i + _SPAN_K]))
+        gb = np.fromiter((zlib.crc32(g.encode()) % n_b for g in grams),
+                         dtype=np.int64, count=len(grams))
+        return pd.DataFrame({
+            "gb": gb.astype(np.int32),
+            "doc_id": np.array(ids, dtype=np.int64),
+            "gram": pd.Series(grams, dtype=object)})
+
+    grams = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram", sort=False)["gram"].transform("size") \
+            .to_numpy(np.int64)
+        dup = (c >= 2).astype(np.int64)
+        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "n": np.ones(len(g), dtype=np.int64),
+                             "n_dup": dup}) \
+            .groupby("doc_id", as_index=False).sum()
+        return pd.DataFrame({
+            "db": (part["doc_id"].to_numpy() % n_b).astype(np.int32),
+            "doc_id": part["doc_id"].to_numpy(),
+            "n": part["n"].to_numpy(np.int64),
+            "n_dup": part["n_dup"].to_numpy(np.int64)})
+
+    partials = grams.groupby("gb").map_groups(mark, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)[["n", "n_dup"]].sum()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(np.int64),
+            "n_grams": agg["n"].to_numpy(np.int64),
+            "n_dup_grams": agg["n_dup"].to_numpy(np.int64),
+            "dup_frac": agg["n_dup"].to_numpy(np.float64)
+            / agg["n"].to_numpy(np.float64)})
+
+    return partials.groupby("db").map_groups(fold, batch_format="pandas")
+
+
+DOC_DUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(w) - {_SPAN_K} + 1),
+      i -> array_to_string(w[i:(i + {_SPAN_K} - 1)], ' '))) AS gram
+  FROM w WHERE len(w) >= {_SPAN_K}),
+c AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_frac
+FROM g JOIN c USING (gram) GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + OOV coverage (bounded-broadcast pattern)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 200
+
+
+def doc_vocab_oov(sf_dir: str, vocab_size: int = _VOCAB_SIZE,
+                  n_buckets: int | None = None):
+    """Top-V vocabulary build + per-doc out-of-vocabulary rate — the
+    tokenizer-prep / coverage-audit pass.  Two phases:
+
+    1. vocabulary: per-batch token-count partials → ``coarse_topk_counts``
+       (one coarse exchange, exact global top-V by (count desc, token
+       asc)) — V rows to the driver, BOUNDED BY CONSTRUCTION (this is
+       the legitimate small-side broadcast, unlike a full-vocabulary DF
+       map: V is a config constant, not a corpus property);
+    2. ``ray.put`` the V-token set, stateless per-batch membership scan
+       emitting (doc_id, n_tokens, n_oov, oov_frac).
+
+    Corpus text is read twice (once per phase) — at 100 TB that is the
+    honest cost of a data-dependent vocabulary; phase 1's exchange moves
+    per-batch distinct-token partials only."""
+    from .relational import coarse_topk_counts
+
+    n_b = _doc_buckets(sf_dir, n_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(words(t))
+        toks = sorted(c)
+        return pd.DataFrame({
+            "token": pd.Series(toks, dtype=object),
+            "n": np.array([c[t] for t in toks], dtype=np.int64)})
+
+    partials = _docs(sf_dir, columns=("text",)) \
+        .map_batches(partial, batch_format="pandas")
+    vocab_df = coarse_topk_counts(partials, "token", vocab_size, n_b)
+    import ray
+    vocab_ref = ray.put(frozenset(vocab_df["token"]))
+
+    def scan(df: pd.DataFrame, _ref=vocab_ref) -> pd.DataFrame:
+        vocab = ray.get(_ref)           # per-worker plasma-cached
+        ids, nt, noov = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            w = words(t)
+            if not w:
+                continue
+            ids.append(int(did))
+            nt.append(len(w))
+            noov.append(sum(1 for x in w if x not in vocab))
+        nt_a = np.array(nt, dtype=np.int64)
+        noov_a = np.array(noov, dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "n_tokens": nt_a,
+            "n_oov": noov_a,
+            "oov_frac": noov_a.astype(np.float64)
+            / nt_a.astype(np.float64)})
+
+    return _docs(sf_dir).map_batches(scan, batch_format="pandas")
+
+
+DOC_VOCAB_OOV_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS tok
+  FROM documents),
+v AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM t GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {_VOCAB_SIZE})),
+j AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM t LEFT JOIN v ON t.tok = v.tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(oov) AS BIGINT) AS n_oov,
+  CAST(sum(oov) AS DOUBLE) / count(*) AS oov_frac
+FROM j GROUP BY doc_id
+"""

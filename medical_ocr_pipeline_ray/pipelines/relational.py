@@ -1181,3 +1181,251 @@ def semi_join_customers_bloom(sf_dir: str):
 
     return both.groupby("bucket").map_groups(filter_bucket,
                                              batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Q5-style 6-table join chain: revenue per nation within a region, orders
+# in a date window, customer and supplier in the SAME nation.  The widest
+# relational pipeline in the engine — three chained bucketed fact-fact
+# exchanges (custkey → orderkey → suppkey), each re-keying the slim join
+# state only, with the tiny region/nation dimensions broadcast once.
+# ---------------------------------------------------------------------------
+
+def q5_region_revenue(sf_dir: str, region: str = "ASIA",
+                      date_lo: str = "1996-01-01",
+                      date_hi: str = "1997-01-01"):
+    """TPC-H Q5 shape, scale-honest: no big side is ever broadcast.
+
+    - region ⋈ nation is driver-side (≤ 25 rows): yields the region's
+      nationkey set + names, broadcast via ``ray.put``.
+    - orders (date-filtered, slim) ⋈ customer (region-filtered, slim) is
+      a bucketed hash join on custkey — customer is a FACT at TPC-H
+      scale (1.5M·SF rows), so it buckets, never broadcasts.
+    - result ⋈ lineitem is a bucketed join on orderkey; lineitem carries
+      (suppkey, rev_micros) only.
+    - result ⋈ supplier is a bucketed join on suppkey (supplier =
+      10k·SF rows — 10^9 at the 100 TB point, far past broadcast range)
+      applying the c_nationkey == s_nationkey equality per bucket, with
+      per-bucket partial (nationkey, rev) aggregation so the final
+      groupby is ≤ 25·P rows.
+    - revenue summed as exact int64 micros (module design rule), one
+      final division — bit-equal to the SQL oracle.
+    """
+    lo = pd.Timestamp(date_lo)
+    hi = pd.Timestamp(date_hi)
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(_t(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"])
+    rk = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region}
+    names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
+             if r["n_regionkey"] in rk}
+    nk_ref = ray.put(names)
+    nb_cust = buckets_for(table_bytes(sf_dir, "customer"))
+    nb_li = buckets_for(table_bytes(sf_dir, "lineitem"))
+    nb_supp = buckets_for(table_bytes(sf_dir, "supplier"))
+
+    # --- exchange 1: orders ⋈ customer on custkey --------------------------
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def key_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame({
+            "bucket": (df["o_custkey"].to_numpy() % nb_cust)
+            .astype(np.int32),
+            "custkey": df["o_custkey"].to_numpy(),
+            "orderkey": df["o_orderkey"].to_numpy(),
+            "nationkey": np.zeros(len(df), dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def key_cust(df: pd.DataFrame, _ref=nk_ref) -> pd.DataFrame:
+        keep = ray.get(_ref)            # per-worker plasma-cached dim
+        df = df[df["c_nationkey"].isin(keep)]
+        return pd.DataFrame({
+            "bucket": (df["c_custkey"].to_numpy() % nb_cust)
+            .astype(np.int32),
+            "custkey": df["c_custkey"].to_numpy(),
+            "orderkey": np.zeros(len(df), dtype=np.int64),
+            "nationkey": df["c_nationkey"].to_numpy().astype(np.int64),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    oc = orders.map_batches(key_orders, batch_format="pandas").union(
+        cust.map_batches(key_cust, batch_format="pandas"))
+
+    def join_oc(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["custkey", "orderkey"]]
+        right = g[g["side"] == 1][["custkey", "nationkey"]]
+        m = left.merge(right, on="custkey", how="inner")
+        return pd.DataFrame({
+            "bucket": (m["orderkey"].to_numpy() % nb_li).astype(np.int32),
+            "orderkey": m["orderkey"].to_numpy().astype(np.int64),
+            "nationkey": m["nationkey"].to_numpy().astype(np.int64),
+            "suppkey": np.zeros(len(m), dtype=np.int64),
+            "rev_u": np.zeros(len(m), dtype=np.int64),
+            "side": np.zeros(len(m), dtype=np.int8)})
+
+    stage1 = oc.groupby("bucket").map_groups(join_oc, batch_format="pandas")
+
+    # --- exchange 2: ⋈ lineitem on orderkey --------------------------------
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def key_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        t = pd.DataFrame({
+            "orderkey": df["l_orderkey"].to_numpy(),
+            "suppkey": df["l_suppkey"].to_numpy(),
+            "rev_u": _micros(price * (1.0 - disc))})
+        t = t.groupby(["orderkey", "suppkey"], as_index=False).sum()
+        return pd.DataFrame({
+            "bucket": (t["orderkey"].to_numpy() % nb_li).astype(np.int32),
+            "orderkey": t["orderkey"].to_numpy(),
+            "nationkey": np.zeros(len(t), dtype=np.int64),
+            "suppkey": t["suppkey"].to_numpy().astype(np.int64),
+            "rev_u": t["rev_u"].to_numpy().astype(np.int64),
+            "side": np.ones(len(t), dtype=np.int8)})
+
+    ol = stage1.union(li.map_batches(key_li, batch_format="pandas",
+                                     batch_size=16384))
+
+    def join_ol(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["orderkey", "nationkey"]]
+        right = g[g["side"] == 1][["orderkey", "suppkey", "rev_u"]]
+        m = left.merge(right, on="orderkey", how="inner")
+        # combiner for exchange 3: partial per (suppkey, cust nation)
+        m = m.groupby(["suppkey", "nationkey"], as_index=False)[
+            "rev_u"].sum()
+        return pd.DataFrame({
+            "bucket": (m["suppkey"].to_numpy() % nb_supp).astype(np.int32),
+            "suppkey": m["suppkey"].to_numpy().astype(np.int64),
+            "nationkey": m["nationkey"].to_numpy().astype(np.int64),
+            "rev_u": m["rev_u"].to_numpy().astype(np.int64),
+            "side": np.zeros(len(m), dtype=np.int8)})
+
+    stage2 = ol.groupby("bucket").map_groups(join_ol, batch_format="pandas")
+
+    # --- exchange 3: ⋈ supplier on suppkey (same-nation condition) ---------
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+
+    def key_supp(df: pd.DataFrame, _ref=nk_ref) -> pd.DataFrame:
+        keep = ray.get(_ref)
+        df = df[df["s_nationkey"].isin(keep)]
+        return pd.DataFrame({
+            "bucket": (df["s_suppkey"].to_numpy() % nb_supp)
+            .astype(np.int32),
+            "suppkey": df["s_suppkey"].to_numpy(),
+            "nationkey": df["s_nationkey"].to_numpy().astype(np.int64),
+            "rev_u": np.zeros(len(df), dtype=np.int64),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    sl = stage2.union(supp.map_batches(key_supp, batch_format="pandas"))
+
+    def join_supp(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["suppkey", "nationkey", "rev_u"]]
+        right = g[g["side"] == 1][["suppkey", "nationkey"]]
+        m = left.merge(right, on=["suppkey", "nationkey"], how="inner")
+        m = m.groupby("nationkey", as_index=False)["rev_u"].sum()
+        return pd.DataFrame({
+            "nationkey": m["nationkey"].to_numpy().astype(np.int64),
+            "rev_u": m["rev_u"].to_numpy().astype(np.int64)})
+
+    per_bucket = sl.groupby("bucket").map_groups(join_supp,
+                                                 batch_format="pandas")
+    agg = per_bucket.groupby("nationkey").aggregate(
+        Sum("rev_u", alias_name="rev_u"))
+
+    def finish(df: pd.DataFrame, _ref=nk_ref) -> pd.DataFrame:
+        names_ = ray.get(_ref)
+        return pd.DataFrame({
+            "n_name": df["nationkey"].map(names_).astype(object),
+            "revenue": df["rev_u"].to_numpy(np.int64) / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas") \
+        .sort(["revenue", "n_name"], descending=[True, False])
+
+
+Q5_SQL = """
+SELECT n_name,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+    / 1000000.0 AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user inter-event gap statistics (lag/lead window shape): same
+# coarse-bucket fold as events_sessions — a user's whole history lives in
+# one bucket task, gaps are a vectorized diff, the exchange moves slim
+# (bucket, user, ts) rows once.
+# ---------------------------------------------------------------------------
+
+def events_gap_stats(sf_dir: str, n_buckets: int | None = None):
+    """Per-user event-gap profile: count, max gap, mean gap — the
+    lag()-window op (feed freshness / engagement cadence).  Gaps in exact
+    integer microseconds; ``mean_gap_s`` is two IEEE divisions of exact
+    ints evaluated in the same order as the SQL oracle.  Users with one
+    event have no gap and are excluded (mirrors HAVING count(*) >= 2)."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % n_b).astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "ts_us": df["ts"].astype("int64").to_numpy()})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        gaps = np.diff(ts)
+        t = pd.DataFrame({"user_id": uid[1:][same],
+                          "gap_us": gaps[same]})
+        n_ev = pd.Series(uid).value_counts()
+        agg = t.groupby("user_id").agg(
+            n_gaps=("gap_us", "size"), max_gap_us=("gap_us", "max"),
+            sum_gap_us=("gap_us", "sum"))
+        agg["n_events"] = n_ev.reindex(agg.index).to_numpy(np.int64)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy().astype(np.int64),
+            "n_events": agg["n_events"].to_numpy(np.int64),
+            "max_gap_us": agg["max_gap_us"].to_numpy(np.int64),
+            "mean_gap_s": agg["sum_gap_us"].to_numpy(np.float64)
+            / agg["n_gaps"].to_numpy(np.float64) / 1_000_000.0})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+EVENTS_GAP_SQL = """
+WITH d AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+  CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0 AS mean_gap_s
+FROM d GROUP BY user_id HAVING count(*) >= 2
+"""

@@ -75,6 +75,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "doc_repetition_stats", "knn_label_predict",
     "doc_segment_dedup", "doc_chunks", "doc_unigram_commonness",
     "bigram_postings", "doc_domain_counts", "doc_pack_bins",
+    "doc_dup_spans", "doc_vocab_oov", "q5_region_revenue",
+    "events_gap_stats",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
