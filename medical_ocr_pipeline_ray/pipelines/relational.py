@@ -1339,17 +1339,18 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
 
     per_bucket = sl.groupby("bucket").map_groups(join_supp,
                                                  batch_format="pandas")
-    agg = per_bucket.groupby("nationkey").aggregate(
-        Sum("rev_u", alias_name="rev_u"))
-
-    def finish(df: pd.DataFrame, _ref=nk_ref) -> pd.DataFrame:
-        names_ = ray.get(_ref)
-        return pd.DataFrame({
-            "n_name": df["nationkey"].map(names_).astype(object),
-            "revenue": df["rev_u"].to_numpy(np.int64) / 1_000_000.0})
-
-    return agg.map_batches(finish, batch_format="pandas") \
-        .sort(["revenue", "n_name"], descending=[True, False])
+    # per-bucket partials are bounded by construction (≤ |region nations|
+    # ≤ 25 rows per bucket) — finish on the driver like coarse_topk_counts
+    # rather than paying two more all-to-alls (Aggregate + sort) on ≤25·P
+    # rows
+    part = per_bucket.to_pandas()
+    agg = part.groupby("nationkey", as_index=False)["rev_u"].sum()
+    out = pd.DataFrame({
+        "n_name": agg["nationkey"].map(names).astype(object),
+        "revenue": agg["rev_u"].to_numpy(np.int64) / 1_000_000.0})
+    out = out.sort_values(["revenue", "n_name"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 Q5_SQL = """
