@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_oov": corpus.doc_vocab_oov,
         "q5_region_revenue": relational.q5_region_revenue,
         "events_gap_stats": relational.events_gap_stats,
+        "events_funnel": relational.events_funnel,
+        "supplier_topk_per_nation": relational.supplier_topk_per_nation,
+        "orders_running_total": relational.orders_running_total,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -218,6 +221,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_oov": corpus.DOC_VOCAB_OOV_SQL,
         "q5_region_revenue": relational.Q5_SQL,
         "events_gap_stats": relational.EVENTS_GAP_SQL,
+        "events_funnel": relational.EVENTS_FUNNEL_SQL,
+        "supplier_topk_per_nation": relational.SUPPLIER_TOPK_SQL,
+        "orders_running_total": relational.ORDERS_RUNNING_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

@@ -1430,3 +1430,175 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0 AS mean_gap_s
 FROM d GROUP BY user_id HAVING count(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (view → click → purchase): the product-analytics
+# staple over an event log.  Same partitioning contract as sessions/gaps —
+# a user's full history lives in one bucket task — with per-bucket partial
+# stage counts, so the driver sees P scalar triples, never users.
+# ---------------------------------------------------------------------------
+
+def events_funnel(sf_dir: str, steps=("view", "click", "purchase"),
+                  n_buckets: int | None = None):
+    """Strict-order funnel: a user converts step i iff an event of type
+    ``steps[i]`` occurs strictly AFTER their earliest conversion time of
+    step i-1 (min-ts semantics, deterministic — no ts tie ambiguity:
+    strictly-greater on exact int64 microseconds both here and in the
+    oracle).  Returns one row of per-step converted-user counts."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(step_ix)]
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % n_b).astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "step": df["event_type"].map(step_ix).to_numpy(np.int8),
+            "ts_us": df["ts"].astype("int64").to_numpy()})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame, _n=len(steps)) -> pd.DataFrame:
+        counts = np.zeros(_n, dtype=np.int64)
+        for _, u in g.groupby("user_id", sort=False):
+            t_prev = -1
+            for i in range(_n):
+                ts = u.loc[(u["step"] == i) & (u["ts_us"] > t_prev),
+                           "ts_us"]
+                if ts.empty:
+                    break
+                t_prev = int(ts.min())
+                counts[i] += 1
+        return pd.DataFrame({"step": np.arange(_n, dtype=np.int64),
+                             "n_users": counts})
+
+    part = keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+    # P×n_steps scalar partials — bounded by construction; finish local
+    tot = part.to_pandas().groupby("step")["n_users"].sum()
+    return pa.table({
+        "step_name": pa.array(list(steps), pa.string()),
+        "n_users": pa.array([int(tot.get(i, 0)) for i in range(len(steps))],
+                            pa.int64())})
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+SELECT step_name, n_users FROM (
+  SELECT 'view' AS step_name, (SELECT count(*) FROM v) AS n_users, 0 AS o
+  UNION ALL
+  SELECT 'click', (SELECT count(*) FROM c), 1
+  UNION ALL
+  SELECT 'purchase', (SELECT count(*) FROM p), 2) ORDER BY o
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k (top suppliers per nation): the per-group QUALIFY shape.
+# Combiner per batch (each batch contributes ≤ groups·k rows), one
+# bucketed exchange by group key, per-bucket per-group merge — exact for
+# any group cardinality, no total sort, no driver materialization.
+# ---------------------------------------------------------------------------
+
+def supplier_topk_per_nation(sf_dir: str, k: int = 3,
+                             n_buckets: int | None = None):
+    """Top-``k`` suppliers by account balance per nation (ties broken by
+    suppkey asc).  A group's rows all land in one bucket, so the
+    bucket-local per-group head(k) is globally exact; the per-batch
+    partial head(k) is the combiner that bounds the exchange at
+    groups·k rows per batch regardless of fact size."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "supplier"))
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name", "s_nationkey",
+                                  "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["s_nationkey", "s_acctbal", "s_suppkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("s_nationkey", sort=False).head(k)
+        return df.assign(
+            bucket=(df["s_nationkey"].to_numpy() % n_b).astype(np.int32))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s_nationkey", "s_acctbal", "s_suppkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("s_nationkey", sort=False).head(k)
+        rk = g.groupby("s_nationkey", sort=False).cumcount() + 1
+        return pd.DataFrame({
+            "s_nationkey": g["s_nationkey"].to_numpy(),
+            "s_suppkey": g["s_suppkey"].to_numpy(np.int64),
+            "s_name": g["s_name"].astype(object),
+            "s_acctbal": g["s_acctbal"].to_numpy(np.float64),
+            "rk": rk.to_numpy(np.int64)})
+
+    return parts.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+SUPPLIER_TOPK_SQL = """
+SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+  CAST(row_number() OVER (PARTITION BY s_nationkey
+       ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rk
+FROM supplier
+QUALIFY rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-customer running revenue total (grouped prefix sum / cumulative
+# window): per-group ordered scan inside the coarse-bucket fold, exact
+# int64 cents so the cumulative double matches the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def orders_running_total(sf_dir: str, n_buckets: int | None = None):
+    """Cumulative order spend per customer in (o_orderdate, o_orderkey)
+    order — the grouped prefix-sum window op (lifetime-value curves).
+    A customer's orders co-locate in one bucket; the fold sorts the
+    group once and cumsums exact cents."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "orders"))
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["o_custkey"].to_numpy() % n_b).astype(np.int32),
+            "o_custkey": df["o_custkey"].to_numpy(),
+            "o_orderkey": df["o_orderkey"].to_numpy(),
+            "date_us": df["o_orderdate"].astype("int64").to_numpy(),
+            "price_c": _cents(df["o_totalprice"])})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "date_us", "o_orderkey"],
+                          kind="mergesort")
+        cum = g.groupby("o_custkey", sort=False)["price_c"].cumsum() \
+            .to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_custkey": g["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+            "cum_spend": cum / 100.0})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+ORDERS_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) / 100.0
+    AS cum_spend
+FROM orders
+"""

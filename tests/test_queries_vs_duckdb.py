@@ -76,7 +76,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "doc_segment_dedup", "doc_chunks", "doc_unigram_commonness",
     "bigram_postings", "doc_domain_counts", "doc_pack_bins",
     "doc_dup_spans", "doc_vocab_oov", "q5_region_revenue",
-    "events_gap_stats",
+    "events_gap_stats", "events_funnel", "supplier_topk_per_nation",
+    "orders_running_total",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
