@@ -147,6 +147,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": relational.events_funnel,
         "supplier_topk_per_nation": relational.supplier_topk_per_nation,
         "orders_running_total": relational.orders_running_total,
+        "events_lag_delta": relational.events_lag_delta,
+        "customer_ntile_by_nation": relational.customer_ntile_by_nation,
+        "events_pivot_daily": relational.events_pivot_daily,
+        "lineitem_corr": relational.lineitem_corr,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "doc_length_histogram": textops.doc_length_histogram,
+        "doc_keep_best_per_source": corpus.doc_keep_best_per_source,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -224,6 +231,13 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "supplier_topk_per_nation": relational.SUPPLIER_TOPK_SQL,
         "orders_running_total": relational.ORDERS_RUNNING_SQL,
+        "events_lag_delta": relational.EVENTS_LAG_DELTA_SQL,
+        "customer_ntile_by_nation": relational.CUSTOMER_NTILE_SQL,
+        "events_pivot_daily": relational.EVENTS_PIVOT_SQL,
+        "lineitem_corr": relational.LINEITEM_CORR_SQL,
+        "q10_returned_revenue": relational.Q10_SQL,
+        "doc_length_histogram": textops.DOC_LENGTH_HIST_SQL,
+        "doc_keep_best_per_source": corpus.DOC_KEEP_BEST_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

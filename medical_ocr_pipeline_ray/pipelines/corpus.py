@@ -731,3 +731,51 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
   CAST(sum(oov) AS DOUBLE) / count(*) AS oov_frac
 FROM j GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Keep-best-per-group (grouped argmax): the canonical-selection dedup
+# policy — among docs sharing a (source, lang) cohort keep the longest
+# (tie: lowest doc_id).  Per-batch combiner keeps ONE candidate per
+# cohort per batch, so the exchange moves ≤ cohorts·batches slim rows
+# and the text column never shuffles.
+# ---------------------------------------------------------------------------
+
+def doc_keep_best_per_source(sf_dir: str, n_buckets: int | None = None):
+    """One representative document per (source, lang): max n_chars, tie
+    min doc_id — the URL/host-canonicalization keep-best shape."""
+    n_b = n_buckets or _doc_buckets(sf_dir, None)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "lang", "n_chars"])
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "lang", "n_chars", "doc_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        df = df.groupby(["source", "lang"], sort=False).head(1)
+        h = pd.util.hash_pandas_object(
+            df["source"].astype(str) + "\x00" + df["lang"].astype(str),
+            index=False).to_numpy()
+        return df.assign(bucket=(h % n_b).astype(np.int32))
+
+    cands = ds.map_batches(best, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "lang", "n_chars", "doc_id"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        g = g.groupby(["source", "lang"], sort=False).head(1)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "source": g["source"].astype(object),
+            "lang": g["lang"].astype(object),
+            "n_chars": g["n_chars"].to_numpy(np.int64)})
+
+    return cands.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+DOC_KEEP_BEST_SQL = """
+SELECT doc_id, source, lang, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source, lang
+    ORDER BY n_chars DESC, doc_id) = 1
+"""

@@ -1602,3 +1602,366 @@ SELECT o_custkey, o_orderkey,
     AS cum_spend
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user lag delta (LAG window): value change vs the user's previous
+# event.  Same coarse-bucket contract as gap_stats — one exchange of slim
+# keyed rows, per-bucket vectorized diff, no per-user Python loop.
+# ---------------------------------------------------------------------------
+
+def events_lag_delta(sf_dir: str, n_buckets: int | None = None):
+    """Per-event ``value - lag(value)`` within user history ordered by
+    (ts, event_id).  Rows without a predecessor are dropped (inner-lag),
+    so no NULL-vs-NaN ambiguity against the oracle; the delta is one IEEE
+    subtraction of the same two doubles on both engines — bit-exact."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % n_b).astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "ts_us": df["ts"].astype("int64").to_numpy(),
+            "value": df["value"].to_numpy(np.float64)})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        prev_same = np.empty(len(g), dtype=bool)
+        prev_same[0] = False
+        prev_same[1:] = uid[1:] == uid[:-1]
+        delta = np.empty(len(g), dtype=np.float64)
+        delta[1:] = val[1:] - val[:-1]
+        out = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid.astype(np.int64),
+            "delta": delta})
+        return out[prev_same]
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+EVENTS_LAG_DELTA_SQL = """
+SELECT event_id, user_id, delta FROM (
+  SELECT event_id, user_id,
+    value - lag(value) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events) WHERE delta IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped NTILE (quartiles of customers per nation): the windowed
+# bucketing op behind per-cohort percentile labels.  Exact NTILE
+# semantics (first ``size % n`` tiles get the extra row) reproduced
+# vectorized inside the per-group fold.
+# ---------------------------------------------------------------------------
+
+def customer_ntile_by_nation(sf_dir: str, n_tiles: int = 4,
+                             n_buckets: int | None = None):
+    """NTILE(``n_tiles``) of customers per nation, ordered by acctbal
+    desc (tie: custkey asc).  A nation's customers co-locate in one
+    bucket; the fold ranks each group and assigns tiles arithmetically —
+    no global sort, the exchange moves (bucket, custkey, balance)."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "customer"))
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(df["c_nationkey"].to_numpy() % n_b).astype(np.int32))
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame, _n=n_tiles) -> pd.DataFrame:
+        g = g.sort_values(["c_nationkey", "c_acctbal", "c_custkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        rank0 = g.groupby("c_nationkey", sort=False).cumcount().to_numpy()
+        size = g.groupby("c_nationkey", sort=False)["c_custkey"] \
+            .transform("size").to_numpy()
+        # NTILE: base rows per tile q = size // n, first r = size % n
+        # tiles hold q+1.  Row at 0-based rank i lands in tile:
+        q, r = size // _n, size % _n
+        big = (q + 1) * r                       # rows covered by big tiles
+        in_big = rank0 < big
+        tile = np.where(in_big,
+                        rank0 // np.maximum(q + 1, 1),
+                        np.where(q > 0, r + (rank0 - big) // np.maximum(q, 1), 0))
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].to_numpy(np.int64),
+            "c_nationkey": g["c_nationkey"].to_numpy(np.int64),
+            "c_acctbal": g["c_acctbal"].to_numpy(np.float64),
+            "tile": (tile + 1).astype(np.int64)})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+CUSTOMER_NTILE_SQL = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+       ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS tile
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide): daily event counts, one column per event type.
+# A pivot with a KNOWN column set is just a conditional partial
+# aggregation — each batch emits ≤ days-touched rows with per-type
+# counts, the groupby merges partials, no row ever carries strings past
+# the first map.
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def events_pivot_daily(sf_dir: str):
+    """Daily pivot of the event log: one row per UTC day with per-type
+    event counts (fixed, declared column set — the scale-safe pivot;
+    dynamic pivots need a distinct-keys pass first)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        day = (us // 86_400_000_000) * 86_400          # epoch seconds
+        t = pd.DataFrame({"day_start": day})
+        et = df["event_type"].to_numpy()
+        for name in _PIVOT_TYPES:
+            t[f"n_{name}"] = (et == name).astype(np.int64)
+        return t.groupby("day_start", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("day_start").aggregate(
+        *[Sum(f"n_{n}", alias_name=f"n_{n}") for n in _PIVOT_TYPES])
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+  sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS n_view,
+  sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS n_click,
+  sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+  sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+  sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY day_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Pearson correlation per group: the single-pass moment
+# pattern (n, Σx, Σy, Σxy, Σx², Σy²) with every moment an exact integer
+# (quantity units, price cents), combined with arbitrary-precision ints
+# in the per-group fold so the final float expression is evaluated once,
+# in the same operation order as the oracle — bit-exact, no Welford
+# drift, summation-order-free.
+# ---------------------------------------------------------------------------
+
+def lineitem_corr(sf_dir: str):
+    """corr(l_quantity, l_extendedprice) per l_returnflag via exact
+    integer moments.  Per-batch int64 partials (batch_size capped so
+    Σy² cannot overflow), per-group Python-int combine (exact at any
+    partial count), one closed-form float expression at the end —
+    ``a / sqrt(b) / sqrt(c)`` with a,b,c exact — mirrored verbatim in
+    the SQL oracle over DuckDB HUGEINT moments."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        y = _cents(df["l_extendedprice"])
+        t = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return t.groupby("l_returnflag", as_index=False).sum()
+
+    # syy per row ≤ ~1e14; 8192-row batches keep the int64 partial ≤ ~1e18
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=8192)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Python ints: exact regardless of how many partials accumulate
+        n = int(sum(int(v) for v in g["n"]))
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        syy = sum(int(v) for v in g["syy"])
+        a = n * sxy - sx * sy
+        b = n * sxx - sx * sx
+        c = n * syy - sy * sy
+        import math
+        corr = float(a) / math.sqrt(float(b)) / math.sqrt(float(c))
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "corr_qty_price": [corr]})
+
+    return partials.groupby("l_returnflag").map_groups(
+        fold, batch_format="pandas")
+
+
+LINEITEM_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+    count(*) AS n,
+    sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+    sum(CAST(round(l_quantity) AS BIGINT)
+        * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+    sum(CAST(round(l_quantity) AS BIGINT)
+        * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        * CAST(round(l_extendedprice*100) AS BIGINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  CAST(n*sxy - sx*sy AS DOUBLE)
+    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+    / sqrt(CAST(n*syy - sy*sy AS DOUBLE)) AS corr_qty_price
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape (top customers by returned-item revenue): the
+# fact-fact-fact chain — lineitem(filtered) ⋈ orders(quarter) on
+# orderkey, partial-agg per custkey, ⋈ customer on custkey (customer is
+# a fact: bucketed, never broadcast), nation name from a ≤25-row
+# broadcast dict, global top-k via per-bucket head(k) + small merge.
+# ---------------------------------------------------------------------------
+
+def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-07-01",
+                         date_hi: str = "1996-10-01", k: int = 20,
+                         n_buckets: int | None = None):
+    """Revenue lost to returns per customer for one quarter's orders
+    (l_returnflag = 'R'), top-``k`` customers.  Exact int64 micros
+    through both exchanges; ties broken by custkey asc."""
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    nb_ord = n_buckets or buckets_for(table_bytes(sf_dir, "lineitem"))
+    nb_cust = n_buckets or buckets_for(table_bytes(sf_dir, "customer"))
+    names = {r["n_nationkey"]: r["n_name"]
+             for r in pq.read_table(
+                 _t(sf_dir, "nation"),
+                 columns=["n_nationkey", "n_name"]).to_pylist()}
+    names_ref = ray.put(names)
+
+    # --- exchange 1: lineitem('R') ⋈ orders(quarter) on orderkey ----------
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def key_li(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        price = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        t = pd.DataFrame({"orderkey": df["l_orderkey"].to_numpy(),
+                          "rev_u": _micros(price * (1.0 - disc))})
+        t = t.groupby("orderkey", as_index=False).sum()
+        return pd.DataFrame({
+            "bucket": (t["orderkey"].to_numpy() % nb_ord).astype(np.int32),
+            "orderkey": t["orderkey"].to_numpy(),
+            "custkey": np.zeros(len(t), dtype=np.int64),
+            "rev_u": t["rev_u"].to_numpy(np.int64),
+            "side": np.zeros(len(t), dtype=np.int8)})
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def key_ord(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+        return pd.DataFrame({
+            "bucket": (df["o_orderkey"].to_numpy() % nb_ord)
+            .astype(np.int32),
+            "orderkey": df["o_orderkey"].to_numpy(),
+            "custkey": df["o_custkey"].to_numpy().astype(np.int64),
+            "rev_u": np.zeros(len(df), dtype=np.int64),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    lo_ds = li.map_batches(key_li, batch_format="pandas", batch_size=16384)
+    ro_ds = orders.map_batches(key_ord, batch_format="pandas")
+
+    def join_lo(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["orderkey", "rev_u"]]
+        right = g[g["side"] == 1][["orderkey", "custkey"]]
+        m = left.merge(right, on="orderkey", how="inner")
+        m = m.groupby("custkey", as_index=False)["rev_u"].sum()
+        return pd.DataFrame({
+            "bucket": (m["custkey"].to_numpy() % nb_cust).astype(np.int32),
+            "custkey": m["custkey"].to_numpy(np.int64),
+            "rev_u": m["rev_u"].to_numpy(np.int64),
+            "nationkey": np.zeros(len(m), dtype=np.int64),
+            "side": np.zeros(len(m), dtype=np.int8)})
+
+    stage1 = lo_ds.union(ro_ds).groupby("bucket").map_groups(
+        join_lo, batch_format="pandas")
+
+    # --- exchange 2: ⋈ customer on custkey --------------------------------
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def key_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["c_custkey"].to_numpy() % nb_cust)
+            .astype(np.int32),
+            "custkey": df["c_custkey"].to_numpy(np.int64),
+            "rev_u": np.zeros(len(df), dtype=np.int64),
+            "nationkey": df["c_nationkey"].to_numpy().astype(np.int64),
+            "side": np.ones(len(df), dtype=np.int8),
+            "c_name": df["c_name"].astype(object)})
+
+    cu = stage1.map_batches(
+        lambda df: df.assign(c_name=np.full(len(df), "", dtype=object)),
+        batch_format="pandas").union(
+        cust.map_batches(key_cust, batch_format="pandas"))
+
+    def join_cu(g: pd.DataFrame, _ref=names_ref, _k=k) -> pd.DataFrame:
+        names = ray.get(_ref)
+        left = g[g["side"] == 0][["custkey", "rev_u"]]
+        left = left.groupby("custkey", as_index=False).sum()
+        right = g[g["side"] == 1][["custkey", "c_name", "nationkey"]]
+        m = left.merge(right, on="custkey", how="inner")
+        m = m.sort_values(["rev_u", "custkey"], ascending=[False, True],
+                          kind="mergesort").head(_k)
+        return pd.DataFrame({
+            "c_custkey": m["custkey"].to_numpy(np.int64),
+            "c_name": m["c_name"].astype(object),
+            "n_name": m["nationkey"].map(names).astype(object),
+            "rev_u": m["rev_u"].to_numpy(np.int64)})
+
+    per_bucket = cu.groupby("bucket").map_groups(join_cu,
+                                                 batch_format="pandas")
+    # ≤ k rows per bucket survive — small merge, exact global top-k
+    top = per_bucket.sort(["rev_u", "c_custkey"],
+                          descending=[True, False]).limit(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"],
+            "c_name": df["c_name"],
+            "n_name": df["n_name"],
+            "revenue": df["rev_u"].to_numpy(np.int64) / 1_000_000.0})
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+    / 1000000.0 AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+  DESC, c_custkey
+LIMIT 20
+"""

@@ -932,3 +932,37 @@ SELECT t.doc_id,
        ELSE topc / CAST(n AS DOUBLE) END AS top_token_frac
 FROM t LEFT JOIN tops USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram: fixed-width binning — the shape-profile op run
+# before choosing chunking / packing budgets.  Pure partial aggregation:
+# each batch emits ≤ bins-touched rows, the groupby merges tiny partials.
+# ---------------------------------------------------------------------------
+
+def doc_length_histogram(sf_dir: str, width: int = 500):
+    """Histogram of document lengths in ``width``-char bins: per-bin doc
+    count and total chars (exact ints).  ``bin_lo`` is the inclusive
+    lower edge."""
+    from ray.data.aggregate import Sum
+    ds = _docs(sf_dir, columns=("doc_id", "n_chars"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_chars"].to_numpy(np.int64)
+        t = pd.DataFrame({
+            "bin_lo": (n // width) * width,
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "sum_chars": n})
+        return t.groupby("bin_lo", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("bin_lo").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"))
+
+
+DOC_LENGTH_HIST_SQL = """
+SELECT (n_chars // 500) * 500 AS bin_lo,
+       count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY bin_lo
+"""

@@ -77,7 +77,9 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "bigram_postings", "doc_domain_counts", "doc_pack_bins",
     "doc_dup_spans", "doc_vocab_oov", "q5_region_revenue",
     "events_gap_stats", "events_funnel", "supplier_topk_per_nation",
-    "orders_running_total",
+    "orders_running_total", "events_lag_delta", "customer_ntile_by_nation",
+    "events_pivot_daily", "lineitem_corr", "q10_returned_revenue",
+    "doc_length_histogram", "doc_keep_best_per_source",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
