@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": relational.q10_returned_revenue,
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_keep_best_per_source": corpus.doc_keep_best_per_source,
+        "events_rolling_avg": relational.events_rolling_avg,
+        "lineitem_rollup": relational.lineitem_rollup,
+        "part_mode_brand": relational.part_mode_brand,
+        "doc_heavy_hitters": textops.doc_heavy_hitters,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -238,6 +242,10 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": relational.Q10_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HIST_SQL,
         "doc_keep_best_per_source": corpus.DOC_KEEP_BEST_SQL,
+        "events_rolling_avg": relational.EVENTS_ROLLING_SQL,
+        "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
+        "part_mode_brand": relational.PART_MODE_SQL,
+        "doc_heavy_hitters": textops.DOC_HEAVY_HITTERS_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

@@ -1965,3 +1965,179 @@ ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
   DESC, c_custkey
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user rolling time-range average (RANGE BETWEEN ... PRECEDING):
+# trailing 1-hour mean of event values.  Same one-exchange coarse-bucket
+# contract; inside the fold the trailing window is two vectorized
+# searchsorted prefix-sum lookups per user run — O(n log n) for the
+# sort, O(n) for the windows, no per-row Python.
+# ---------------------------------------------------------------------------
+
+def events_rolling_avg(sf_dir: str, window_s: int = 3600,
+                       n_buckets: int | None = None):
+    """Per-event trailing mean of ``value`` over the user's events in
+    ``[ts - window_s, ts]`` (inclusive bounds — RANGE-window semantics).
+    Sums are exact int64 micros; the mean is one IEEE division mirrored
+    by the oracle, so ties in summation order cannot split the hash."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    w_us = window_s * 1_000_000
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["user_id"].to_numpy() % n_b).astype(np.int32),
+            "user_id": df["user_id"].to_numpy(),
+            "event_id": df["event_id"].to_numpy(),
+            "ts_us": df["ts"].astype("int64").to_numpy(),
+            "v_u": _micros(df["value"])})
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        v = g["v_u"].to_numpy()
+        out_sum = np.empty(len(g), dtype=np.int64)
+        out_n = np.empty(len(g), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[starts, len(g)]
+        for i in range(len(starts)):          # per-user RUN, not per-row
+            lo, hi = bounds[i], bounds[i + 1]
+            t, vv = ts[lo:hi], v[lo:hi]
+            csum = np.r_[0, np.cumsum(vv)]
+            left = np.searchsorted(t, t - w_us, side="left")
+            # RANGE ... CURRENT ROW includes ts-peers, so the window's
+            # upper edge is the right bisect of the row's own ts
+            right = np.searchsorted(t, t, side="right")
+            out_sum[lo:hi] = csum[right] - csum[left]
+            out_n[lo:hi] = right - left
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid.astype(np.int64),
+            "n_in_window": out_n,
+            "avg_value": out_sum / 1_000_000.0 / out_n})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+  sum(CAST(round(value*1000000) AS BIGINT)) OVER w / 1000000.0
+    / count(*) OVER w AS avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping sets): revenue by (returnflag, linestatus) with
+# per-flag subtotals and a grand total.  One pass: the per-batch partial
+# emits a row into EVERY grouping set (3 sets → ≤ 3·distinct rows per
+# batch), the small groupby merges — no second scan per set, which is
+# the scale trick (the naive plan reads the fact table once per set).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_TOTAL = "__ALL__"
+
+
+def lineitem_rollup(sf_dir: str):
+    """Revenue rollup over (l_returnflag, l_linestatus): detail rows,
+    per-returnflag subtotals, grand total.  Subtotal levels carry the
+    sentinel ``__ALL__`` (NULL-free so hash compare is unambiguous).
+    Exact int64 micros throughout."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _micros(df["l_extendedprice"].to_numpy()
+                      * (1.0 - df["l_discount"].to_numpy()))
+        base = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "rev_u": rev, "n": np.ones(len(df), dtype=np.int64)})
+        detail = base.groupby(["l_returnflag", "l_linestatus"],
+                              as_index=False).sum()
+        sub = detail.assign(l_linestatus=_ROLLUP_TOTAL).groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False).sum()
+        total = sub.assign(l_returnflag=_ROLLUP_TOTAL).groupby(
+            ["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pd.concat([detail, sub, total], ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("rev_u", alias_name="rev_u"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "n_items": df["n"],
+            "revenue": df["rev_u"] / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, '__ALL__') AS l_returnflag,
+       coalesce(l_linestatus, '__ALL__') AS l_linestatus,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+         / 1000000.0 AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent brand per part type): exact distributed
+# mode via per-batch (type, brand) partial counts → one small groupby →
+# per-type argmax fold.  The exchange moves counts, never part rows.
+# ---------------------------------------------------------------------------
+
+def part_mode_brand(sf_dir: str, n_buckets: int | None = None):
+    """Most frequent p_brand per p_type (tie: lexicographically first
+    brand) plus its count — the grouped-mode aggregate."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "part"))
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_type", "p_brand"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"p_type": df["p_type"].to_numpy(),
+                          "p_brand": df["p_brand"].to_numpy(),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        t = t.groupby(["p_type", "p_brand"], as_index=False).sum()
+        h = pd.util.hash_pandas_object(t["p_type"].astype(str),
+                                       index=False).to_numpy()
+        return t.assign(bucket=(h % n_b).astype(np.int32))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p_type", "p_brand"], as_index=False)["n"].sum()
+        g = g.sort_values(["p_type", "n", "p_brand"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("p_type", sort=False).head(1)
+        return pd.DataFrame({
+            "p_type": g["p_type"].astype(object),
+            "mode_brand": g["p_brand"].astype(object),
+            "n_parts": g["n"].to_numpy(np.int64)})
+
+    return partials.groupby("bucket").map_groups(fold,
+                                                 batch_format="pandas")
+
+
+PART_MODE_SQL = """
+SELECT p_type, p_brand AS mode_brand, CAST(n AS BIGINT) AS n_parts FROM (
+  SELECT p_type, p_brand, count(*) AS n,
+    row_number() OVER (PARTITION BY p_type
+        ORDER BY count(*) DESC, p_brand) AS rk
+  FROM part GROUP BY p_type, p_brand) WHERE rk = 1
+"""

@@ -966,3 +966,72 @@ SELECT (n_chars // 500) * 500 AS bin_lo,
        count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY bin_lo
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (frequency-threshold mining): all tokens whose corpus
+# frequency exceeds phi·N.  Two cheap scans: (1) exact corpus token
+# count N from per-batch scalars, (2) per-batch partial counts hashed to
+# coarse buckets — a token's copies all land in one bucket, so the
+# bucket-local sum is its exact global count and the phi·N filter is
+# applied bucket-locally, never on the driver.  The exchange moves
+# (token, partial-count) pairs, the driver only sees survivors (≤ 1/phi
+# rows by definition).  A Misra-Gries per-batch summary could bound the
+# exchange at m rows/batch at the cost of a candidate-verify pass; with
+# the combiner the partial stream is already per-batch-vocab bounded.
+# ---------------------------------------------------------------------------
+
+def doc_heavy_hitters(sf_dir: str, phi: float = 0.002):
+    """Exact tokens with count > floor(phi·N) over ``[a-z0-9]+`` tokens
+    of lowered text (N = corpus token count).  Output bounded by 1/phi
+    rows — the heavy-hitter guarantee."""
+    from collections import Counter
+
+    from ..functions.fingerprint import words
+    from ..partitioning import buckets_for, table_bytes
+
+    n_b = buckets_for(table_bytes(sf_dir, "documents"))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def count_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": pd.Series(
+            [sum(len(words(t)) for t in df["text"])], dtype=np.int64)})
+
+    from ray.data.aggregate import Sum
+    n_total = int(ds.map_batches(count_batch, batch_format="pandas")
+                  .aggregate(Sum("n", alias_name="n"))["n"])
+    floor_thresh = int(phi * n_total)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(words(t))
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int32)})
+        toks, counts = zip(*sorted(c.items()))
+        t = pd.DataFrame({"token": list(toks),
+                          "n": np.array(counts, dtype=np.int64)})
+        h = pd.util.hash_pandas_object(t["token"], index=False).to_numpy()
+        return t.assign(bucket=(h % n_b).astype(np.int32))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame, _th=floor_thresh) -> pd.DataFrame:
+        g = g.groupby("token", as_index=False)["n"].sum()
+        g = g[g["n"] > _th]
+        return pd.DataFrame({"token": g["token"].astype(object),
+                             "n": g["n"].to_numpy(np.int64)})
+
+    return partials.groupby("bucket").map_groups(fold,
+                                                 batch_format="pandas")
+
+
+DOC_HEAVY_HITTERS_SQL = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents)
+SELECT token, count(*) AS n FROM tok GROUP BY token
+HAVING count(*) > CAST(floor(0.002 * (SELECT count(*) FROM tok)) AS BIGINT)
+"""

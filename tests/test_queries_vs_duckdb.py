@@ -80,6 +80,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "orders_running_total", "events_lag_delta", "customer_ntile_by_nation",
     "events_pivot_daily", "lineitem_corr", "q10_returned_revenue",
     "doc_length_histogram", "doc_keep_best_per_source",
+    "events_rolling_avg", "lineitem_rollup", "part_mode_brand",
+    "doc_heavy_hitters",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
