@@ -79,6 +79,13 @@ BENCH_QUERIES = (
     "doc_vocab_oov",
     "q5_region_revenue",
     "events_gap_stats",
+    # round-3 late additions: window/funnel/rollup/topk analytics + corpus
+    "events_funnel",
+    "events_rolling_avg",
+    "orders_running_total",
+    "q10_returned_revenue",
+    "lineitem_rollup",
+    "doc_heavy_hitters",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and
