@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": relational.lineitem_rollup,
         "part_mode_brand": relational.part_mode_brand,
         "doc_heavy_hitters": textops.doc_heavy_hitters,
+        "events_daily_active_users": relational.events_daily_active_users,
+        "orders_month_over_month": relational.orders_month_over_month,
+        "part_revenue_share": relational.part_revenue_share,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -246,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_rollup": relational.LINEITEM_ROLLUP_SQL,
         "part_mode_brand": relational.PART_MODE_SQL,
         "doc_heavy_hitters": textops.DOC_HEAVY_HITTERS_SQL,
+        "events_daily_active_users": relational.EVENTS_DAU_SQL,
+        "orders_month_over_month": relational.ORDERS_MOM_SQL,
+        "part_revenue_share": relational.PART_SHARE_SQL,
         "events_user_rank": relational.EVENTS_USER_RANK_SQL,
         "events_distinct_users_by_type":
             relational.EVENTS_DISTINCT_USERS_SQL,

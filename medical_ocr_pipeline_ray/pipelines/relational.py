@@ -2141,3 +2141,176 @@ SELECT p_type, p_brand AS mode_brand, CAST(n AS BIGINT) AS n_parts FROM (
         ORDER BY count(*) DESC, p_brand) AS rk
   FROM part GROUP BY p_type, p_brand) WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact daily active users: COUNT DISTINCT per day WITHOUT a (day, user)
+# exchange — bucket by user_id (a user's events co-locate), dedup
+# (day, user) bucket-locally, then sum per-bucket distinct counts per
+# day: users are unique across buckets, so bucket partials add exactly.
+# ---------------------------------------------------------------------------
+
+def events_daily_active_users(sf_dir: str, n_buckets: int | None = None):
+    """Distinct users per UTC day, exact.  The exchange moves per-batch
+    (bucket, day, user) dedup'd triples; the per-day final merge is a
+    tiny integer groupby over ≤ days·P partial rows."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        t = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day_start": (us // 86_400_000_000) * 86_400})
+        t = t.drop_duplicates()                     # per-batch combiner
+        return t.assign(
+            bucket=(t["user_id"].to_numpy() % n_b).astype(np.int32))
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["day_start", "user_id"])
+        c = g.groupby("day_start", as_index=False).size()
+        return pd.DataFrame({"day_start": c["day_start"].to_numpy(np.int64),
+                             "n_active": c["size"].to_numpy(np.int64)})
+
+    part = keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+    return part.groupby("day_start").aggregate(
+        Sum("n_active", alias_name="n_active"))
+
+
+EVENTS_DAU_SQL = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       count(DISTINCT user_id) AS n_active
+FROM events GROUP BY day_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue: aggregate the fact table to a BOUNDED month
+# series (partial cents per batch), then apply the LAG on the series —
+# the aggregate-then-window composite.  The series is ≤ months rows
+# (bounded by calendar time, not data size), so finishing it locally is
+# the scale-correct plan; the fact table is touched by exactly one
+# combiner pass.
+# ---------------------------------------------------------------------------
+
+def orders_month_over_month(sf_dir: str):
+    """Monthly order revenue with previous-month delta (absolute).  The
+    delta is one IEEE subtraction of two exactly-reconstructed doubles —
+    bit-equal to the oracle's window LAG.  First month is dropped
+    (inner lag)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        per = df["o_orderdate"].dt.to_period("M")
+        t = pd.DataFrame({
+            "year": per.dt.year.to_numpy(np.int64),
+            "month": per.dt.month.to_numpy(np.int64),
+            "rev_c": _cents(df["o_totalprice"])})
+        return t.groupby(["year", "month"], as_index=False).sum()
+
+    series = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["year", "month"]).aggregate(Sum("rev_c", alias_name="rev_c")) \
+        .to_pandas()                    # bounded: one row per month
+    series = series.sort_values(["year", "month"], kind="mergesort")
+    rev = series["rev_c"].to_numpy(np.int64) / 100.0
+    out = pd.DataFrame({
+        "year": series["year"].to_numpy(np.int64),
+        "month": series["month"].to_numpy(np.int64),
+        "revenue": rev,
+        "mom_delta": np.r_[np.nan, rev[1:] - rev[:-1]]})
+    return pa.Table.from_pandas(out.iloc[1:].reset_index(drop=True),
+                                preserve_index=False)
+
+
+ORDERS_MOM_SQL = """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(month(o_orderdate) AS BIGINT) AS month,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT year, month, revenue,
+       revenue - lag(revenue) OVER (ORDER BY year, month) AS mom_delta
+FROM m QUALIFY mom_delta IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Revenue share per brand: a grouped aggregate divided by the GLOBAL
+# total — the window-total (sum() OVER ()) shape.  Both levels come out
+# of the same single combiner pass; the global total is the exact-int
+# sum of the bounded per-brand rows, so no second scan and no broadcast
+# of anything but one scalar.
+# ---------------------------------------------------------------------------
+
+def part_revenue_share(sf_dir: str, n_buckets: int | None = None):
+    """Share of lineitem revenue per part brand: brand revenue / total
+    revenue.  part is a FACT at TPC-H scale (200k·SF rows), so the
+    brand lookup is a bucketed join on partkey — lineitem ships
+    per-batch (partkey, rev-partial) combiner rows, part ships
+    (partkey, brand), the bucket fold joins and collapses to per-brand
+    partials (≤ |brands| per bucket).  The share division is a single
+    IEEE op on exact micros, mirrored by the oracle."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "part"))
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def key_li(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _micros(df["l_extendedprice"].to_numpy()
+                      * (1.0 - df["l_discount"].to_numpy()))
+        t = pd.DataFrame({"partkey": df["l_partkey"].to_numpy(),
+                          "rev_u": rev})
+        t = t.groupby("partkey", as_index=False).sum()
+        return pd.DataFrame({
+            "bucket": (t["partkey"].to_numpy() % n_b).astype(np.int32),
+            "partkey": t["partkey"].to_numpy(np.int64),
+            "rev_u": t["rev_u"].to_numpy(np.int64),
+            "p_brand": np.full(len(t), "", dtype=object),
+            "side": np.zeros(len(t), dtype=np.int8)})
+
+    part_ds = rd.read_parquet(_t(sf_dir, "part"),
+                              columns=["p_partkey", "p_brand"])
+
+    def key_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["p_partkey"].to_numpy() % n_b).astype(np.int32),
+            "partkey": df["p_partkey"].to_numpy(np.int64),
+            "rev_u": np.zeros(len(df), dtype=np.int64),
+            "p_brand": df["p_brand"].astype(object),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    both = ds.map_batches(key_li, batch_format="pandas",
+                          batch_size=16384).union(
+        part_ds.map_batches(key_part, batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["partkey", "rev_u"]]
+        right = g[g["side"] == 1][["partkey", "p_brand"]]
+        m = left.merge(right, on="partkey", how="inner")
+        m = m.groupby("p_brand", as_index=False)["rev_u"].sum()
+        return pd.DataFrame({"p_brand": m["p_brand"].astype(object),
+                             "rev_u": m["rev_u"].to_numpy(np.int64)})
+
+    agg = both.groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .groupby("p_brand").aggregate(Sum("rev_u", alias_name="rev_u")) \
+        .to_pandas()                    # bounded: one row per brand
+    total = int(agg["rev_u"].sum())
+    return pa.table({
+        "p_brand": pa.array(agg["p_brand"].tolist(), pa.string()),
+        "revenue": pa.array(agg["rev_u"].to_numpy(np.int64) / 1_000_000.0),
+        "share": pa.array(agg["rev_u"].to_numpy(np.int64) / float(total))})
+
+
+PART_SHARE_SQL = """
+WITH b AS (
+  SELECT p_brand,
+    sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+      AS rev_u
+  FROM lineitem JOIN part ON p_partkey = l_partkey GROUP BY p_brand)
+SELECT p_brand, rev_u / 1000000.0 AS revenue,
+       rev_u / CAST((SELECT sum(rev_u) FROM b) AS DOUBLE) AS share
+FROM b
+"""

@@ -81,7 +81,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "events_pivot_daily", "lineitem_corr", "q10_returned_revenue",
     "doc_length_histogram", "doc_keep_best_per_source",
     "events_rolling_avg", "lineitem_rollup", "part_mode_brand",
-    "doc_heavy_hitters",
+    "doc_heavy_hitters", "events_daily_active_users",
+    "orders_month_over_month", "part_revenue_share",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
