@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_pipeline": dedup.dedup_pipeline,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_range_search": similarity.knn_range_search,

@@ -584,3 +584,47 @@ def dedup_clusters(sf_dir: str, max_iters: int = 8):
                              "cluster_rep": lab["label"].astype(np.int64)})
 
     return state.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus dedup: the composite a user actually runs — candidate
+# pairs (MinHash+LSH, exact dups ride along via identical signatures) →
+# exact-threshold verify → distributed connected components → keep each
+# cluster's canonical representative (min doc_id) and every untouched
+# doc.  The removal set is applied as a bucketed anti join on doc_id, so
+# neither the corpus nor the removal set is ever driver-materialized or
+# broadcast (at web scale the removed fraction is 20-50% of all docs).
+# ---------------------------------------------------------------------------
+
+def dedup_pipeline(sf_dir: str, n_buckets: int | None = None):
+    """Surviving doc_ids after full near-duplicate collapse over the
+    augmented corpus (same planted twins as the family's other entries).
+    Returns one row per kept doc — cluster members keep only the min-id
+    representative."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
+    clusters = dedup_clusters(sf_dir)
+
+    def key_removed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] != df["cluster_rep"]]
+        return pd.DataFrame({
+            "bucket": (df["doc_id"].to_numpy() % n_b).astype(np.int32),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    def key_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["doc_id"].to_numpy() % n_b).astype(np.int32),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    corpus = augmented_docs(sf_dir).select_columns(["doc_id"])
+    both = corpus.map_batches(key_corpus, batch_format="pandas").union(
+        clusters.map_batches(key_removed, batch_format="pandas"))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        drop = set(g.loc[g["side"] == 1, "doc_id"].tolist())
+        keep = g.loc[g["side"] == 0, "doc_id"]
+        keep = keep[~keep.isin(drop)]
+        return pd.DataFrame({"doc_id": keep.to_numpy(np.int64)})
+
+    return both.groupby("bucket").map_groups(anti, batch_format="pandas")

@@ -342,3 +342,56 @@ def test_knn_ivf_pruned_reads_only_probe_cells(ray_session):
     assert len(set(pruned["vec_id"]) & brute) / len(brute) >= 0.3
     # query vector itself always survives (it sits in a probe cell)
     assert list(pruned["vec_id"])[0] == list(knn_brute_force(SF_DIR)["vec_id"])[0]
+
+
+def test_dedup_pipeline_end_to_end(ray_session, planted_truth):
+    """Composite dedup: every planted EXACT twin collapses to its
+    original; near twins above the verify threshold collapse too; docs
+    with no partner all survive; survivors + removed partition the
+    corpus exactly (nothing lost, nothing duplicated)."""
+    from medical_ocr_pipeline_ray.pipelines.dedup import (augmented_docs,
+                                                          dedup_pipeline)
+    texts, near, exact = planted_truth
+    all_ids = set(_pdf(augmented_docs(SF_DIR))["doc_id"])
+    kept = set(_pdf(dedup_pipeline(SF_DIR))["doc_id"])
+    removed = all_ids - kept
+    assert kept <= all_ids and len(kept) == len(all_ids) - len(removed)
+    # every exact twin (did + 2_000_000) must be gone, original kept
+    exact_twins = {b for _, b in exact}
+    assert exact_twins <= removed
+    assert {a for a, _ in exact} <= kept
+    # only docs with a VERIFIED near-dup partner may be removed (the
+    # corpus has organic template near-dups beyond the planted twins,
+    # so the bound is the verified pair graph, not the planted set)
+    from medical_ocr_pipeline_ray.pipelines.dedup import dedup_minhash_lsh
+    pairs_df = _pdf(dedup_minhash_lsh(SF_DIR))
+    in_graph = set(pairs_df["doc_a"].astype(int)) | \
+        set(pairs_df["doc_b"].astype(int))
+    assert removed <= in_graph
+    # each connected component keeps EXACTLY its min-id representative
+    # (sequential union-find over the same verified pair list)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["doc_a"].astype(int),
+                    pairs_df["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for d in in_graph:
+        comps.setdefault(find(d), set()).add(d)
+    for rep, members in comps.items():
+        assert kept & members == {min(members)}
+        assert members - {min(members)} <= removed
+    # strongly-similar planted near twins collapse (LSH recall ~1-1e-5;
+    # verify is exact-threshold)
+    strong_twins = {b for (_, b), j in near.items() if j[3] >= 0.9}
+    assert strong_twins
+    assert len(strong_twins & removed) / len(strong_twins) >= 0.95

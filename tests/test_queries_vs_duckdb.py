@@ -98,7 +98,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
     non_sql = {"extract_turns", "assemble_conversations",
                "assemble_documents", "dedup_minhash_lsh",
-               "dedup_simhash", "dedup_clusters",
+               "dedup_simhash", "dedup_clusters", "dedup_pipeline",
                "knn_lsh", "knn_ivf", "knn_ivf_pruned",
                "embedding_near_dup", "multimodal_features",
                "multimodal_resize", "multimodal_frame_sample", "sample_events",
@@ -121,3 +121,39 @@ def test_entry_contract(ray_session):
     df = _to_df(ds)
     assert len(df) > 0
     assert {"conv_id", "turn_idx", "text_extracted"} <= set(df.columns)
+
+
+def test_rolling_avg_range_peers_semantics(ray_session, tmp_path):
+    """RANGE BETWEEN ... CURRENT ROW includes ts-PEERS: rows of the same
+    user with identical ts must all be inside each other's window.
+    Constructed ties (absent from the synth tables) vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_ocr_pipeline_ray.pipelines.relational import (
+        EVENTS_ROLLING_SQL, events_rolling_avg)
+    base = 1_700_000_000_000_000
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pa.array([base, base, base + 10_000_000,
+                        base + 3_600_000_000, base + 3_600_000_000,
+                        base + 9_000_000_000], pa.timestamp("us")),
+        "user_id": [7, 7, 7, 7, 7, 8],
+        "event_type": ["view"] * 6,
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+        "props": ["{}"] * 6,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    got = events_rolling_avg(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(EVENTS_ROLLING_SQL).fetchdf()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert (got["n_in_window"].to_numpy()
+            == want["n_in_window"].to_numpy()).all()
+    assert (got["avg_value"].to_numpy()
+            == want["avg_value"].to_numpy()).all()
+    # the tie rows (events 1,2) see BOTH peers: n = 2
+    assert set(got.loc[got["event_id"].isin([1, 2]), "n_in_window"]) == {2}
