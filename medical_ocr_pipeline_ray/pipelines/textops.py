@@ -1035,3 +1035,45 @@ WITH tok AS (
 SELECT token, count(*) AS n FROM tok GROUP BY token
 HAVING count(*) > CAST(floor(0.002 * (SELECT count(*) FROM tok)) AS BIGINT)
 """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the canonicalization stage every corpus pipeline
+# runs BEFORE exact/near dedup (NFC unicode form + explicit-class
+# whitespace-run collapse + trim), so byte-different renderings of the
+# same text hash identically downstream.  Stateless vectorized map
+# (pandas ``str`` kernels, one C pass per column) — no shuffle, streams
+# at read bandwidth at any corpus size.  The whitespace class is the
+# explicit ``[ \t\n\r]`` (not ``\s``) for engine-dialect parity; NBSP
+# and unicode spaces are deliberately preserved (oracle-checked).
+# ---------------------------------------------------------------------------
+
+_NORM_WS_PAT = r"[ \t\n\r]+"
+
+
+def doc_normalize_text(sf_dir: str):
+    """Per-doc canonical text: NFC + whitespace-run collapse + trim,
+    with before/after char counts (the shrink audit column)."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (df["text"].str.normalize("NFC")
+                .str.replace(_NORM_WS_PAT, " ", regex=True).str.strip())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "norm_text": norm.astype(object),
+            "n_chars_before": df["text"].str.len().to_numpy(np.int64),
+            "n_chars_after": norm.str.len().to_numpy(np.int64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_NORMALIZE_TEXT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g'))
+           AS norm_text,
+         CAST(length(text) AS BIGINT) AS n_chars_before
+  FROM documents)
+SELECT doc_id, norm_text, n_chars_before,
+       CAST(length(norm_text) AS BIGINT) AS n_chars_after
+FROM n
+"""

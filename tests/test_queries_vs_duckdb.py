@@ -83,6 +83,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "events_rolling_avg", "lineitem_rollup", "part_mode_brand",
     "doc_heavy_hitters", "events_daily_active_users",
     "orders_month_over_month", "part_revenue_share",
+    "doc_normalize_text",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -157,3 +158,33 @@ def test_rolling_avg_range_peers_semantics(ray_session, tmp_path):
             == want["avg_value"].to_numpy()).all()
     # the tie rows (events 1,2) see BOTH peers: n = 2
     assert set(got.loc[got["event_id"].isin([1, 2]), "n_in_window"]) == {2}
+
+
+def test_doc_normalize_text_messy_inputs(ray_session, tmp_path):
+    """The synth corpus has no whitespace runs, so normalization is a
+    no-op there; constructed messy docs (NFD accents, ligatures, tab/
+    newline runs, padding) exercise the real path vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_ocr_pipeline_ray.pipelines.textops import (
+        DOC_NORMALIZE_TEXT_SQL, doc_normalize_text)
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": ["Café  au\t\tlait \n\n x ",   # NFD -> NFC + runs
+                 "ﬁne  ＡＢ ",           # ligature + fullwidth
+                 "  leading and trailing  ",
+                 "already clean"],
+        "label": ["a"] * 4, "source": ["s"] * 4,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    got = doc_normalize_text(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(DOC_NORMALIZE_TEXT_SQL).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    _compare("doc_normalize_text_messy", got, want)
+    assert got.loc[0, "norm_text"] == "Café au lait x"
+    assert (got["n_chars_after"] < got["n_chars_before"]).sum() == 3
