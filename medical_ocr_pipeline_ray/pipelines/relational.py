@@ -2314,3 +2314,78 @@ SELECT p_brand, rev_u / 1000000.0 AS revenue,
        rev_u / CAST((SELECT sum(rev_u) FROM b) AS DOUBLE) AS share
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# Statistical outlier filter — the two-pass broadcast-aggregate-filter
+# shape every ingest pipeline runs (drop/flag rows > mean + 3σ of their
+# group).  Pass 1 folds exact integer moments (n, Σcents, Σcents²) per
+# event_type: int64 per-batch partials (batch capped so Σcents² cannot
+# overflow), Python-int combine — exact at any partial count.  The
+# per-type threshold is ONE closed-form float expression over those
+# exact ints, mirrored verbatim in the SQL oracle, so the float paths
+# are bit-identical.  The threshold table (≤ |event_type| rows) is the
+# only driver materialization; pass 2 re-reads and filters with the
+# broadcast dict — no shuffle at all.
+# ---------------------------------------------------------------------------
+
+def events_outliers(sf_dir: str):
+    """Events whose value exceeds mean + 3·stddev_pop of their
+    event_type (exact-moment thresholds, IEEE-mirrored oracle)."""
+    import math
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"])
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "s": c, "sq": c * c})
+        return t.groupby("event_type", as_index=False).sum()
+
+    # cents² ≤ ~1e12 per row; 8192-row batches keep Σ ≤ ~1e16 (int64-safe)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in g["n"])
+        s = sum(int(v) for v in g["s"])
+        sq = sum(int(v) for v in g["sq"])
+        mean = float(s) / n
+        var = float(sq) / n - mean * mean
+        thr = mean + 3.0 * math.sqrt(max(var, 0.0))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "thr": [thr]})
+
+    thr_df = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=8192) \
+        .groupby("event_type").map_groups(fold, batch_format="pandas") \
+        .to_pandas()                     # bounded: one row per event_type
+    thr = dict(zip(thr_df["event_type"], thr_df["thr"]))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["event_type"].map(thr).to_numpy(np.float64)
+        mask = _cents(df["value"]).astype(np.float64) > t
+        out = df[mask]
+        return pd.DataFrame({
+            "event_id": out["event_id"].to_numpy(np.int64),
+            "event_type": out["event_type"].astype(object),
+            "value": out["value"].to_numpy(np.float64)})
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+EVENTS_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+    sum(CAST(round(value*100) AS BIGINT)) AS s,
+    sum(CAST(round(value*100) AS BIGINT)
+        * CAST(round(value*100) AS BIGINT)) AS sq
+  FROM events GROUP BY event_type),
+t AS (
+  SELECT event_type,
+    CAST(s AS DOUBLE)/n + 3.0 * sqrt(greatest(
+      CAST(sq AS DOUBLE)/n
+        - (CAST(s AS DOUBLE)/n) * (CAST(s AS DOUBLE)/n), 0.0)) AS thr
+  FROM m)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN t USING (event_type)
+WHERE CAST(CAST(round(e.value*100) AS BIGINT) AS DOUBLE) > t.thr
+"""

@@ -83,7 +83,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "events_rolling_avg", "lineitem_rollup", "part_mode_brand",
     "doc_heavy_hitters", "events_daily_active_users",
     "orders_month_over_month", "part_revenue_share",
-    "doc_normalize_text",
+    "doc_normalize_text", "events_outliers",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
