@@ -2389,3 +2389,78 @@ SELECT e.event_id, e.event_type, e.value
 FROM events e JOIN t USING (event_type)
 WHERE CAST(CAST(round(e.value*100) AS BIGINT) AS DOUBLE) > t.thr
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (record linkage): for each part, how many OTHER
+# parts have a name within Levenshtein distance 4, banding on the name's
+# noun token (classic blocking key — candidates only form inside a
+# band, so the quadratic is per-band, never global).  Inside a band the
+# work contracts to UNIQUE names: the DP runs over |uniq|² pairs and
+# per-row counts multiply back out — on vocab-generated names |uniq| is
+# tiny regardless of row count.  At scale the banding key must bound
+# band sizes (salt or secondary key if a band grows past memory); the
+# DP is the standard unit-cost edit distance, bit-identical to the
+# DuckDB ``levenshtein`` oracle.
+# ---------------------------------------------------------------------------
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def part_fuzzy_match_counts(sf_dir: str, max_dist: int = 4):
+    """Per-part count of distinct other parts whose p_name is within
+    ``max_dist`` edits, banded by the name's second token."""
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_name"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["p_name"].astype(str)
+        band = [s.split(" ")[1] if len(s.split(" ")) > 1 else ""
+                for s in names]
+        return pd.DataFrame({"band": pd.array(band, dtype=object),
+                             "p_partkey": df["p_partkey"]
+                             .to_numpy(np.int64),
+                             "p_name": names.to_numpy()})
+
+    def fold(g: pd.DataFrame, _d=max_dist) -> pd.DataFrame:
+        counts = g["p_name"].value_counts()
+        uniq = list(counts.index)
+        close = {u: [] for u in uniq}
+        for i, u in enumerate(uniq):
+            for v in uniq[i:]:
+                if _levenshtein(u, v) <= _d:
+                    close[u].append(v)
+                    if u != v:
+                        close[v].append(u)
+        n_for = {u: sum(int(counts[w]) for w in close[u]) - 1
+                 for u in uniq}          # -1: exclude the row itself
+        n = g["p_name"].map(n_for).to_numpy(np.int64)
+        keep = n > 0
+        return pd.DataFrame({
+            "p_partkey": g["p_partkey"].to_numpy(np.int64)[keep],
+            "n_matches": n[keep]})
+
+    return ds.map_batches(key, batch_format="pandas") \
+        .groupby("band").map_groups(fold, batch_format="pandas")
+
+
+PART_FUZZY_SQL = """
+SELECT a.p_partkey, count(*) AS n_matches
+FROM part a JOIN part b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_partkey <> b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+GROUP BY a.p_partkey
+"""
