@@ -2464,3 +2464,73 @@ FROM part a JOIN part b
 WHERE levenshtein(a.p_name, b.p_name) <= 4
 GROUP BY a.p_partkey
 """
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER JOIN — the one join type the engine had not yet exercised:
+# per-user-day view counts ⟗ purchase counts (daily engagement vs
+# conversion; days with views-but-no-purchase and purchase-but-no-view
+# both survive with COALESCE'd zeros).  Both inputs are facts, so the
+# join is the bucketed-exchange pattern keyed on user_id: per-batch
+# (user, day, type) count combiners ride one shuffle; each bucket fold
+# finishes its users' outer merge locally — no broadcast, no NULLs in
+# the result schema.
+# ---------------------------------------------------------------------------
+
+def events_views_vs_purchases(sf_dir: str, n_buckets: int | None = None):
+    """Per user and UTC day: n_views and n_purchases, keeping days where
+    either side is absent (full outer semantics, zeros coalesced)."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        us = df["ts"].astype("int64").to_numpy()
+        t = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day_start": (us // 86_400_000_000) * 86_400,
+            "is_view": (df["event_type"].to_numpy() == "view")
+            .astype(np.int64)})
+        t["n"] = 1
+        t = t.groupby(["user_id", "day_start", "is_view"],
+                      as_index=False)["n"].sum()    # per-batch combiner
+        t["bucket"] = (t["user_id"].to_numpy() % n_b).astype(np.int32)
+        return t
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "day_start", "is_view"],
+                      as_index=False)["n"].sum()
+        v = g[g["is_view"] == 1][["user_id", "day_start", "n"]] \
+            .rename(columns={"n": "n_views"})
+        p = g[g["is_view"] == 0][["user_id", "day_start", "n"]] \
+            .rename(columns={"n": "n_purchases"})
+        m = v.merge(p, on=["user_id", "day_start"], how="outer")
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "day_start": m["day_start"].to_numpy(np.int64),
+            "n_views": m["n_views"].fillna(0).to_numpy(np.int64),
+            "n_purchases": m["n_purchases"].fillna(0)
+            .to_numpy(np.int64)})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+EVENTS_VIEWS_PURCHASES_SQL = """
+WITH b AS (
+  SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         event_type
+  FROM events WHERE event_type IN ('view', 'purchase')),
+v AS (SELECT user_id, day_start, count(*) AS n_views
+      FROM b WHERE event_type = 'view' GROUP BY 1, 2),
+p AS (SELECT user_id, day_start, count(*) AS n_purchases
+      FROM b WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       COALESCE(v.day_start, p.day_start) AS day_start,
+       COALESCE(n_views, 0) AS n_views,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM v FULL OUTER JOIN p
+  ON v.user_id = p.user_id AND v.day_start = p.day_start
+"""

@@ -84,7 +84,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "doc_heavy_hitters", "events_daily_active_users",
     "orders_month_over_month", "part_revenue_share",
     "doc_normalize_text", "events_outliers",
-    "part_fuzzy_match_counts",
+    "part_fuzzy_match_counts", "events_views_vs_purchases",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
