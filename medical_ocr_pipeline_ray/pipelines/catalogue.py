@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": relational.events_outliers,
         "part_fuzzy_match_counts": relational.part_fuzzy_match_counts,
         "events_views_vs_purchases": relational.events_views_vs_purchases,
+        "nation_segments_agg": relational.nation_segments_agg,
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
         "doc_decontaminate": textops.doc_decontaminate,
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "events_outliers": relational.EVENTS_OUTLIERS_SQL,
         "part_fuzzy_match_counts": relational.PART_FUZZY_SQL,
         "events_views_vs_purchases": relational.EVENTS_VIEWS_PURCHASES_SQL,
+        "nation_segments_agg": relational.NATION_SEGMENTS_SQL,
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,

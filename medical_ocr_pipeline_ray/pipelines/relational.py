@@ -2534,3 +2534,59 @@ SELECT COALESCE(v.user_id, p.user_id) AS user_id,
 FROM v FULL OUTER JOIN p
   ON v.user_id = p.user_id AND v.day_start = p.day_start
 """
+
+
+# ---------------------------------------------------------------------------
+# Collect/string aggregation (array_agg / string_agg family): per
+# nation, the sorted-distinct market segments of its customers as one
+# deterministic comma-joined string.  The distinct (nation, segment)
+# pair domain is bounded (25 × 5), so per-batch set-partials collapse
+# the fact table before the exchange and the final join-and-sort runs
+# on ≤125 rows — the scale shape for ANY collect-agg whose group-local
+# distinct domain is bounded (collect over an unbounded domain needs
+# the heavy-hitter/top-k treatment instead).
+# ---------------------------------------------------------------------------
+
+def nation_segments_agg(sf_dir: str):
+    """Per nationkey: customer count and the ','-joined sorted distinct
+    market segments (deterministic string_agg)."""
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "n_nationkey": df["c_nationkey"].to_numpy(np.int64),
+            "c_mktsegment": df["c_mktsegment"].astype(object),
+            "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby(["n_nationkey", "c_mktsegment"],
+                         as_index=False)["n"].sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["n_nationkey", "c_mktsegment"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby("n_nationkey"):
+            segs = sorted(g["c_mktsegment"].astype(str))
+            rows.append({"n_nationkey": int(k),
+                         "segments": ",".join(segs),
+                         "n_customers": int(g["n"].sum())})
+        out = pd.DataFrame(rows)
+        return pd.DataFrame({
+            "n_nationkey": out["n_nationkey"].to_numpy(np.int64),
+            "segments": out["segments"].astype(object),
+            "n_customers": out["n_customers"].to_numpy(np.int64)})
+
+    # ≤ 125 partial rows: one repartition(1) then a local finish is the
+    # bounded-result endgame, not a scale concern
+    return agg.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+NATION_SEGMENTS_SQL = """
+SELECT c_nationkey AS n_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+         AS segments,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""
