@@ -86,6 +86,11 @@ BENCH_QUERIES = (
     "q10_returned_revenue",
     "lineitem_rollup",
     "doc_heavy_hitters",
+    # final round-3 additions
+    "doc_normalize_text",
+    "events_outliers",
+    "part_fuzzy_match_counts",
+    "events_views_vs_purchases",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and
