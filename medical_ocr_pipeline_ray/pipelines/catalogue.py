@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": textops.doc_lang_id,
         "doc_fingerprint": textops.doc_fingerprint,
         "events_value_quantiles": textops.events_value_quantiles,
+        "events_value_quantiles_cont":
+            textops.events_value_quantiles_cont,
         "events_value_quantiles_by_type":
             textops.events_value_quantiles_by_type,
         "approx_distinct_shingles": textops.approx_distinct_shingles,
@@ -214,6 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": textops.DOC_LANG_SQL,
         "doc_fingerprint": textops.DOC_FINGERPRINT_SQL,
         "events_value_quantiles": textops.EVENTS_QUANTILES_SQL,
+        "events_value_quantiles_cont":
+            textops.EVENTS_QUANTILES_CONT_SQL,
         "events_value_quantiles_by_type":
             textops.EVENTS_QUANTILES_BY_TYPE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -1077,3 +1077,64 @@ SELECT doc_id, norm_text, n_chars_before,
        CAST(length(norm_text) AS BIGINT) AS n_chars_after
 FROM n
 """
+
+
+def events_value_quantiles_cont(sf_dir: str):
+    """EXACT interpolated (percentile_cont) quantiles of events.value —
+    same distributed bounded-histogram plan as the discrete variant
+    (per-batch integer-cents histograms → one small groupby → driver
+    pick over the bounded histogram), finishing with DuckDB's lerp
+    ``x[⌊h⌋] + (h-⌊h⌋)·(x[⌊h⌋+1]-x[⌊h⌋])``, h = q·(N−1), computed with
+    the identical IEEE ops — verified bit-equal to ``quantile_cont``."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(dtype=np.float64) * 100) \
+            .astype(np.int64)
+        vals, counts = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"cents": vals,
+                             "n": counts.astype(np.int64)})
+
+    hist = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("cents").aggregate(Sum("n", alias_name="n")) \
+        .sort("cents").to_pandas()       # bounded: one row per cent value
+    cum = hist["n"].cumsum().to_numpy()
+    n_total = int(cum[-1])
+    cents_v = hist["cents"].to_numpy(np.int64)
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        h = q * (n_total - 1)
+        lo_rank = int(np.floor(h))
+        frac = h - np.floor(h)
+        i_lo = int(np.searchsorted(cum, lo_rank + 1))
+        i_hi = int(np.searchsorted(cum, lo_rank + 2)) \
+            if lo_rank + 1 < n_total else i_lo
+        x_lo, x_hi = float(cents_v[i_lo]), float(cents_v[i_hi])
+        rows.append({"q": q,
+                     "value": (x_lo * (1 - frac) + x_hi * frac) / 100.0})
+    return pd.DataFrame(rows)
+
+
+EVENTS_QUANTILES_CONT_SQL = """
+SELECT CAST(0.25 AS DOUBLE) AS q,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.25)
+         / 100.0 AS value FROM events
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE) AS q,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)
+         / 100.0 AS value FROM events
+UNION ALL
+SELECT CAST(0.75 AS DOUBLE) AS q,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.75)
+         / 100.0 AS value FROM events
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE) AS q,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.9)
+         / 100.0 AS value FROM events
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE) AS q,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.99)
+         / 100.0 AS value FROM events
+"""
