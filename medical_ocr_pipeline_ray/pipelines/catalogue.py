@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_fuzzy_match_counts": relational.part_fuzzy_match_counts,
         "events_views_vs_purchases": relational.events_views_vs_purchases,
         "nation_segments_agg": relational.nation_segments_agg,
+        "orders_above_customer_avg":
+            relational.orders_above_customer_avg,
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
         "doc_decontaminate": textops.doc_decontaminate,
@@ -235,6 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "part_fuzzy_match_counts": relational.PART_FUZZY_SQL,
         "events_views_vs_purchases": relational.EVENTS_VIEWS_PURCHASES_SQL,
         "nation_segments_agg": relational.NATION_SEGMENTS_SQL,
+        "orders_above_customer_avg":
+            relational.ORDERS_ABOVE_AVG_SQL,
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,

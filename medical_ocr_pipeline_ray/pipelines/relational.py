@@ -2590,3 +2590,74 @@ SELECT c_nationkey AS n_nationkey,
        count(*) AS n_customers
 FROM customer GROUP BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation: orders priced above their own
+# customer's average (``WHERE price > (SELECT avg(...) WHERE same
+# cust)``).  Unlike events_outliers' per-TYPE thresholds (bounded →
+# broadcast dict), the group key here is HIGH-cardinality (custkey), so
+# the aggregate must REJOIN the fact instead of broadcasting: per-batch
+# (custkey, n, Σcents) combiners and the fact rows ride ONE bucketed
+# exchange on custkey; each bucket fold finishes its customers locally.
+# The predicate is evaluated as ``cents·n > Σcents`` — pure int64, no
+# division, so cross-engine equality is exact by construction.
+# ---------------------------------------------------------------------------
+
+def orders_above_customer_avg(sf_dir: str, n_buckets: int | None = None):
+    """Orders with o_totalprice strictly above the average total price
+    of the same customer's orders."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "orders"))
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def rows_and_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["o_totalprice"])
+        facts = pd.DataFrame({
+            "bucket": (df["o_custkey"].to_numpy() % n_b).astype(np.int32),
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "cents": c, "n": np.zeros(len(df), dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8)})
+        agg = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                            "cents": c,
+                            "n": np.ones(len(df), dtype=np.int64)})
+        agg = agg.groupby("o_custkey", as_index=False).sum()
+        agg = pd.DataFrame({
+            "bucket": (agg["o_custkey"].to_numpy() % n_b).astype(np.int32),
+            "o_custkey": agg["o_custkey"].to_numpy(np.int64),
+            "o_orderkey": np.zeros(len(agg), dtype=np.int64),
+            "cents": agg["cents"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64),
+            "side": np.ones(len(agg), dtype=np.int8)})
+        return pd.concat([facts, agg], ignore_index=True)
+
+    keyed = ds.map_batches(rows_and_partials, batch_format="pandas")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g[g["side"] == 1].groupby("o_custkey", as_index=False) \
+            [["cents", "n"]].sum().rename(columns={"cents": "s"})
+        f = g[g["side"] == 0][["o_custkey", "o_orderkey", "cents"]] \
+            .merge(agg, on="o_custkey", how="inner")
+        keep = f["cents"].to_numpy(np.int64) * f["n"].to_numpy(np.int64) \
+            > f["s"].to_numpy(np.int64)
+        f = f[keep]
+        return pd.DataFrame({
+            "o_orderkey": f["o_orderkey"].to_numpy(np.int64),
+            "o_custkey": f["o_custkey"].to_numpy(np.int64),
+            "o_totalprice": f["cents"].to_numpy(np.int64) / 100.0})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+ORDERS_ABOVE_AVG_SQL = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS s
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(round(o.o_totalprice*100) AS BIGINT) / 100.0 AS o_totalprice
+FROM orders o JOIN a USING (o_custkey)
+WHERE CAST(round(o.o_totalprice*100) AS BIGINT) * a.n > a.s
+"""
