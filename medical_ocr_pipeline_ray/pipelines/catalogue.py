@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segments_agg": relational.nation_segments_agg,
         "orders_above_customer_avg":
             relational.orders_above_customer_avg,
+        "lineitem_cube": relational.lineitem_cube,
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
         "doc_decontaminate": textops.doc_decontaminate,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_segments_agg": relational.NATION_SEGMENTS_SQL,
         "orders_above_customer_avg":
             relational.ORDERS_ABOVE_AVG_SQL,
+        "lineitem_cube": relational.LINEITEM_CUBE_SQL,
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,

@@ -2661,3 +2661,58 @@ SELECT o.o_orderkey, o.o_custkey,
 FROM orders o JOIN a USING (o_custkey)
 WHERE CAST(round(o.o_totalprice*100) AS BIGINT) * a.n > a.s
 """
+
+
+def lineitem_cube(sf_dir: str):
+    """CUBE grouping sets over (l_returnflag, l_linestatus) — all four
+    sets (detail, per-flag, per-status, grand total) emitted in the
+    SAME one-scan plan as ``lineitem_rollup``: each batch writes into
+    every set's partial (sentinel ``__ALL__`` marks collapsed dims, so
+    the result is NULL-free), one small groupby merges.  The per-batch
+    partial row count is bounded by the dims' value-domain product —
+    the precondition for one-scan grouping sets at any corpus size."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _micros(df["l_extendedprice"].to_numpy()
+                      * (1.0 - df["l_discount"].to_numpy()))
+        base = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "rev_u": rev, "n": np.ones(len(df), dtype=np.int64)})
+        keys = ["l_returnflag", "l_linestatus"]
+        detail = base.groupby(keys, as_index=False).sum()
+        by_flag = detail.assign(l_linestatus=_ROLLUP_TOTAL) \
+            .groupby(keys, as_index=False).sum()
+        by_status = detail.assign(l_returnflag=_ROLLUP_TOTAL) \
+            .groupby(keys, as_index=False).sum()
+        total = by_flag.assign(l_returnflag=_ROLLUP_TOTAL) \
+            .groupby(keys, as_index=False).sum()
+        return pd.concat([detail, by_flag, by_status, total],
+                         ignore_index=True)
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("rev_u", alias_name="rev_u"), Sum("n", alias_name="n"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "n_items": df["n"],
+            "revenue": df["rev_u"] / 1_000_000.0})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+LINEITEM_CUBE_SQL = """
+SELECT coalesce(l_returnflag, '__ALL__') AS l_returnflag,
+       coalesce(l_linestatus, '__ALL__') AS l_linestatus,
+       count(*) AS n_items,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+         / 1000000.0 AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
