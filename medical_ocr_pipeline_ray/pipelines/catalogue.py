@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg":
             relational.orders_above_customer_avg,
         "lineitem_cube": relational.lineitem_cube,
+        "parts_shipped_both_years":
+            relational.parts_shipped_both_years,
+        "parts_shipped_1996_only":
+            relational.parts_shipped_1996_only,
         "doc_top_bigrams": textops.doc_top_bigrams,
         "annotate_doc_entities": textops.annotate_doc_entities,
         "doc_decontaminate": textops.doc_decontaminate,
@@ -241,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg":
             relational.ORDERS_ABOVE_AVG_SQL,
         "lineitem_cube": relational.LINEITEM_CUBE_SQL,
+        "parts_shipped_both_years": relational.PARTS_INTERSECT_SQL,
+        "parts_shipped_1996_only": relational.PARTS_EXCEPT_SQL,
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,
         "annotate_doc_entities": textops.ANNOTATE_DOC_ENTITIES_SQL,
         "doc_decontaminate": textops.DOC_DECONTAMINATE_SQL,

@@ -2716,3 +2716,63 @@ SELECT coalesce(l_returnflag, '__ALL__') AS l_returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL set operations on DISTINCT key sets (INTERSECT / EXCEPT): parts
+# shipped in both 1996 and 1997, and parts shipped in 1996 only.  One
+# shared plan: per-batch DISTINCT (partkey, year-flag) pairs (the
+# combiner — duplicates die before the exchange), one bucketed exchange
+# on partkey, per-bucket set algebra on boolean masks.  The same fold
+# serves any set op; only the final mask differs.
+# ---------------------------------------------------------------------------
+
+def _parts_year_setop(sf_dir: str, op: str, y_a: int = 1996,
+                      y_b: int = 1997, n_buckets: int | None = None):
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "lineitem"))
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_shipdate"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        yr = df["l_shipdate"].dt.year.to_numpy()
+        sel = (yr == y_a) | (yr == y_b)
+        t = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(np.int64)
+                          [sel],
+                          "in_b": (yr[sel] == y_b)})
+        t = t.drop_duplicates()               # per-batch combiner
+        t["bucket"] = (t["l_partkey"].to_numpy() % n_b).astype(np.int32)
+        return t
+
+    keyed = ds.map_batches(key, batch_format="pandas")
+
+    def fold(g: pd.DataFrame, _op=op) -> pd.DataFrame:
+        p = g.groupby("l_partkey")["in_b"].agg(["min", "max"])
+        in_a, in_b = ~p["min"].to_numpy(), p["max"].to_numpy()
+        mask = (in_a & in_b) if _op == "intersect" else (in_a & ~in_b)
+        return pd.DataFrame({"l_partkey":
+                             p.index.to_numpy(np.int64)[mask]})
+
+    return keyed.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+def parts_shipped_both_years(sf_dir: str):
+    """DISTINCT partkeys shipped in both 1996 and 1997 (INTERSECT)."""
+    return _parts_year_setop(sf_dir, "intersect")
+
+
+def parts_shipped_1996_only(sf_dir: str):
+    """DISTINCT partkeys shipped in 1996 but never in 1997 (EXCEPT)."""
+    return _parts_year_setop(sf_dir, "except")
+
+
+PARTS_INTERSECT_SQL = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+INTERSECT
+SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
+"""
+
+PARTS_EXCEPT_SQL = """
+SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+EXCEPT
+SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
+"""

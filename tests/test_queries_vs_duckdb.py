@@ -87,7 +87,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "doc_normalize_text", "events_outliers",
     "part_fuzzy_match_counts", "events_views_vs_purchases",
     "nation_segments_agg", "orders_above_customer_avg",
-    "lineitem_cube",
+    "lineitem_cube", "parts_shipped_both_years",
+    "parts_shipped_1996_only",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
