@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": textops.events_value_quantiles,
         "events_value_quantiles_cont":
             textops.events_value_quantiles_cont,
+        "approx_value_quantiles": textops.approx_value_quantiles,
         "events_value_quantiles_by_type":
             textops.events_value_quantiles_by_type,
         "approx_distinct_shingles": textops.approx_distinct_shingles,

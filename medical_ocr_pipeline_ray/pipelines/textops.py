@@ -1138,3 +1138,40 @@ SELECT CAST(0.99 AS DOUBLE) AS q,
        quantile_cont(CAST(round(value*100) AS BIGINT), 0.99)
          / 100.0 AS value FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable bottom-k-by-hash quantile SKETCH — the scale path when the
+# exact counting-pattern quantiles' precondition (bounded value domain)
+# fails: keeping the k rows with the smallest deterministic row-hash is
+# a uniform sample without replacement that MERGES exactly (bottom-k of
+# bottom-k's = global bottom-k), so each batch contributes ≤ k rows and
+# the estimate is reproducible run-to-run — no RNG, no coordination.
+# Rank error ~ sqrt(q(1-q)/k) (≈1% at k=4096); pytest asserts the rank
+# tolerance vs the exact distribution — not SQL-oracle-able (a sketch).
+# ---------------------------------------------------------------------------
+
+def approx_value_quantiles(sf_dir: str, k: int = 4096):
+    """Approximate (0.25, 0.5, 0.75, 0.9, 0.99) quantiles of
+    events.value from a deterministic bottom-k-by-hash sample."""
+    from .relational import local_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) ^ (ids >> np.uint64(7))
+        return pd.DataFrame({"h": h.astype(np.uint64),
+                             "value": df["value"]
+                             .to_numpy(np.float64)})
+
+    sample = local_topk(ds.map_batches(hashed, batch_format="pandas"),
+                        ["h"], [False], k).to_pandas()
+    vals = np.sort(sample["value"].to_numpy(np.float64))
+    n = len(vals)
+    rows = []
+    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
+        idx = min(int(np.ceil(q * n)) - 1, n - 1)
+        rows.append({"q": q, "value": float(vals[max(idx, 0)])})
+    return pd.DataFrame(rows)

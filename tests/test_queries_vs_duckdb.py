@@ -105,6 +105,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     non_sql = {"extract_turns", "assemble_conversations",
                "assemble_documents", "dedup_minhash_lsh",
                "dedup_simhash", "dedup_clusters", "dedup_pipeline",
+               "approx_value_quantiles",
                "knn_lsh", "knn_ivf", "knn_ivf_pruned",
                "embedding_near_dup", "multimodal_features",
                "multimodal_resize", "multimodal_frame_sample", "sample_events",
