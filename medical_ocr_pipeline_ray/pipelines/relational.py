@@ -2405,6 +2405,9 @@ WHERE CAST(CAST(round(e.value*100) AS BIGINT) AS DOUBLE) > t.thr
 # ---------------------------------------------------------------------------
 
 def _levenshtein(a: str, b: str) -> int:
+    # DuckDB's levenshtein counts UTF-8 BYTES, not codepoints
+    # (hypothesis dialect-parity test) — ASCII inputs are unaffected
+    a, b = a.encode("utf-8"), b.encode("utf-8")
     if a == b:
         return 0
     if len(a) < len(b):

@@ -137,3 +137,17 @@ def test_bpe_pretokenizer_dialect_parity(text):
         [text, text]).fetchone()
     assert py_bpe == sq_bpe
     assert py_ws == sq_ws
+
+
+@given(st.text(max_size=30), st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_dialect_parity(a, b):
+    """The fuzzy-join DP must agree with DuckDB's levenshtein on
+    arbitrary unicode strings (unit-cost standard edit distance)."""
+    import duckdb
+
+    from medical_ocr_pipeline_ray.pipelines.relational import _levenshtein
+
+    con = duckdb.connect()
+    want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert _levenshtein(a, b) == want

@@ -194,3 +194,35 @@ def test_doc_normalize_text_messy_inputs(ray_session, tmp_path):
     _compare("doc_normalize_text_messy", got, want)
     assert got.loc[0, "norm_text"] == "Café au lait x"
     assert (got["n_chars_after"] < got["n_chars_before"]).sum() == 3
+
+
+def test_events_outliers_degenerate_variance(ray_session, tmp_path):
+    """All-equal values within a type → variance 0 → no rows pass the
+    strict > threshold; a single extreme row in another type passes.
+    Constructed inputs vs DuckDB (guards the greatest(var,0) and the
+    strict-inequality edge)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from medical_ocr_pipeline_ray.pipelines.relational import (
+        EVENTS_OUTLIERS_SQL, events_outliers)
+    base = 1_700_000_000_000_000
+    n = 41                      # enough samples that a lone spike can
+    rows = {                    # exceed 3 sigma (max z grows with n)
+        "event_id": list(range(1, n + 1)),
+        "ts": pa.array([base + i for i in range(n)], pa.timestamp("us")),
+        "user_id": [1] * n,
+        "event_type": ["flat"] * 20 + ["spiky"] * 21,
+        "value": [5.0] * 20 + [1.0] * 20 + [1000.0],
+        "props": ["{}"] * n,
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    got = events_outliers(str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(EVENTS_OUTLIERS_SQL).fetchdf() \
+        .sort_values("event_id").reset_index(drop=True)
+    _compare("events_outliers_degenerate", got, want)
+    assert list(got["event_id"]) == [41]     # only the spike survives
