@@ -91,6 +91,7 @@ BENCH_QUERIES = (
     "events_outliers",
     "part_fuzzy_match_counts",
     "events_views_vs_purchases",
+    "corpus_build_pipeline",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_postings": corpus.bigram_postings,
         "doc_domain_counts": corpus.doc_domain_counts,
         "doc_pack_bins": corpus.doc_pack_bins,
+        "corpus_build_pipeline": corpus.corpus_build_pipeline,
         "doc_dup_spans": corpus.doc_dup_spans,
         "doc_vocab_oov": corpus.doc_vocab_oov,
         "q5_region_revenue": relational.q5_region_revenue,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_postings": corpus.BIGRAM_POSTINGS_SQL,
         "doc_domain_counts": corpus.DOC_DOMAIN_SQL,
         "doc_pack_bins": corpus.DOC_PACK_SQL,
+        "corpus_build_pipeline": corpus.CORPUS_BUILD_SQL,
         "doc_dup_spans": corpus.DOC_DUP_SPANS_SQL,
         "doc_vocab_oov": corpus.DOC_VOCAB_OOV_SQL,
         "q5_region_revenue": relational.Q5_SQL,

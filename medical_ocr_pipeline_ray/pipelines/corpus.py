@@ -779,3 +779,136 @@ SELECT doc_id, source, lang, n_chars FROM documents
 QUALIFY row_number() OVER (PARTITION BY source, lang
     ORDER BY n_chars DESC, doc_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# The flagship corpus-construction COMPOSITE: normalize → quality-gate →
+# exact-dedup → sequence-pack, wired as ONE streaming pipeline (not a
+# re-reading chain of the individual catalogue entries).  Stage shapes:
+# the normalize/gate/hash map is stateless and drops the text
+# immediately (the exchange moves (md5, doc_id, n_tokens) — 56 bytes/
+# doc, never the corpus); exact dedup is a hash-bucketed min-id fold;
+# packing is the doc_pack_bins distributed prefix scan over the
+# survivors.  End-to-end bit-equal to a DuckDB WITH-cascade of the same
+# four stages — the strongest possible oracle for a composite.
+# ---------------------------------------------------------------------------
+
+def corpus_build_pipeline(sf_dir: str, n_buckets: int | None = None,
+                          budget: int = _PACK_BUDGET):
+    """Kept docs after NFC-normalize + Gopher gates + exact dedup, each
+    assigned its packed training sequence (bin_id, bin_offset)."""
+    import re
+
+    from .textops import EN_STOPS
+    n_b = _doc_buckets(sf_dir, n_buckets)
+    tok_rx = re.compile(r"[A-Za-z0-9_]+")
+    stop_rx = re.compile(r"[a-z]+")
+    ws_rx = re.compile(r"[ \t\n\r]+")
+    stops = set(EN_STOPS)
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        import unicodedata
+        ids, hs, nts = [], [], []
+        for did, raw in zip(df["doc_id"], df["text"]):
+            t = ws_rx.sub(" ", unicodedata.normalize("NFC", raw)).strip()
+            toks = tok_rx.findall(t)
+            if not toks:
+                continue
+            n = len(toks)
+            mwl = sum(map(len, toks)) / n
+            sf = sum(1 for w in stop_rx.findall(t.lower())
+                     if w in stops) / n
+            if n >= 30 and 3.8 <= mwl <= 5.1 and sf >= 0.04:
+                ids.append(int(did))
+                hs.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+                nts.append(len(words(t)))
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "h": pd.array(hs, dtype=object),
+            "nt": np.asarray(nts, dtype=np.int64),
+            "bucket": (np.asarray([zlib.crc32(x.encode()) for x in hs],
+                                  dtype=np.int64) % n_b)
+            .astype(np.int32)})
+
+    slim = _docs(sf_dir).map_batches(gate, batch_format="pandas")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort") \
+            .drop_duplicates("h", keep="first")
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "nt": g["nt"].to_numpy(np.int64)})
+
+    kept = slim.groupby("bucket").map_groups(dedup,
+                                             batch_format="pandas")
+
+    # distributed prefix scan over the survivors (doc_pack_bins shape):
+    # range-bucket by doc_id, P scalar totals to the driver, local fold
+    max_id = int(_docs(sf_dir, columns=("doc_id",)).max("doc_id"))
+    span = max_id + 1
+
+    def rb(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return df.assign(rb=(ids * n_b // span).astype(np.int32))
+
+    counts = kept.map_batches(rb, batch_format="pandas").materialize()
+    totals = counts.groupby("rb").sum("nt").to_pandas().sort_values("rb")
+    offs = np.zeros(n_b, dtype=np.int64)
+    cum = 0
+    for r, s in zip(totals["rb"], totals["sum(nt)"]):
+        offs[int(r)] = cum
+        cum += int(s)
+
+    def fold(g: pd.DataFrame, _b=budget) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["nt"].to_numpy(np.int64)
+        prefix = np.cumsum(nt) - nt + offs[int(g["rb"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": nt,
+            "bin_id": prefix // _b,
+            "bin_offset": prefix % _b})
+
+    return counts.groupby("rb").map_groups(fold, batch_format="pandas")
+
+
+def _stops_sql() -> str:
+    from .textops import EN_STOPS, _sql_list
+    return _sql_list(EN_STOPS)
+
+
+CORPUS_BUILD_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS t
+  FROM documents),
+tq AS (
+  SELECT doc_id, t, regexp_extract_all(t, '[A-Za-z0-9_]+') AS toks,
+    len(list_filter(regexp_extract_all(lower(t), '[a-z]+'),
+        x -> x IN ({_stops_sql()}))) AS nstop
+  FROM norm),
+m AS (
+  SELECT doc_id, t, len(toks) AS n_toks,
+    list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE
+      / len(toks) AS mwl,
+    nstop::DOUBLE / len(toks) AS sf
+  FROM tq WHERE len(toks) > 0),
+kept AS (
+  SELECT doc_id, t FROM m
+  WHERE n_toks >= 30 AND mwl >= 3.8 AND mwl <= 5.1 AND sf >= 0.04),
+dedup AS (
+  SELECT doc_id, t FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1),
+n AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(t), '[a-z0-9]+')) AS nt
+  FROM dedup),
+p AS (
+  SELECT doc_id, nt,
+    COALESCE(sum(nt) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM n)
+SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+  CAST(prefix // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+  CAST(prefix % {_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM p
+"""
