@@ -2779,3 +2779,70 @@ SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
 EXCEPT
 SELECT DISTINCT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
 """
+
+
+# ---------------------------------------------------------------------------
+# percent_rank() OVER (PARTITION BY priority ORDER BY price) WITHOUT a
+# global sort: the rank of a row is the cumulative count of strictly
+# smaller values, which comes from the same bounded integer-cents
+# histogram the exact-quantile ops use — per-batch (priority, cents)
+# partials → one small groupby → per-priority cumsum → rank map
+# broadcast once (bounded by the quantized price domain; for genuinely
+# unbounded domains swap the broadcast for a bucketed join on cents) →
+# fact rows map to ``rank_below / (N−1)`` in a second stateless pass.
+# DuckDB defines percent_rank identically, so the single IEEE division
+# of exact ints is bit-equal.
+# ---------------------------------------------------------------------------
+
+def orders_percent_rank(sf_dir: str):
+    """Every order with its percent_rank of o_totalprice within its
+    o_orderpriority."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"pri": df["o_orderpriority"].to_numpy(),
+                          "cents": _cents(df["o_totalprice"]),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby(["pri", "cents"], as_index=False).sum()
+
+    hist = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["pri", "cents"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()                  # bounded: quantized price domain
+    rank_below: dict = {}
+    n_tot: dict = {}
+    for pri, g in hist.groupby("pri"):
+        g = g.sort_values("cents")
+        n = g["n"].to_numpy(np.int64)
+        below = np.cumsum(n) - n
+        rank_below[pri] = dict(zip(g["cents"].to_numpy(np.int64),
+                                   below))
+        n_tot[pri] = int(n.sum())
+    rb_ref = ray.put(rank_below)
+    nt_ref = ray.put(n_tot)
+
+    def finish(df: pd.DataFrame, _rb=rb_ref, _nt=nt_ref) -> pd.DataFrame:
+        rb, nt = ray.get(_rb), ray.get(_nt)
+        pris = df["o_orderpriority"].to_numpy()
+        cents = _cents(df["o_totalprice"])
+        below = np.fromiter((rb[p][c] for p, c in zip(pris, cents)),
+                            dtype=np.int64, count=len(df))
+        denom = np.fromiter((nt[p] - 1 for p in pris),
+                            dtype=np.int64, count=len(df))
+        pr = np.where(denom > 0, below / np.maximum(denom, 1), 0.0)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "o_orderpriority": pris.astype(object),
+            "pct_rank": pr})
+
+    return ds.map_batches(finish, batch_format="pandas")
+
+
+ORDERS_PCT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(round(o_totalprice*100)
+                                          AS BIGINT)) AS pct_rank
+FROM orders
+"""
