@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_cont":
             textops.events_value_quantiles_cont,
         "approx_value_quantiles": textops.approx_value_quantiles,
+        "events_value_mad": textops.events_value_mad,
         "events_value_quantiles_by_type":
             textops.events_value_quantiles_by_type,
         "approx_distinct_shingles": textops.approx_distinct_shingles,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": textops.EVENTS_QUANTILES_SQL,
         "events_value_quantiles_cont":
             textops.EVENTS_QUANTILES_CONT_SQL,
+        "events_value_mad": textops.EVENTS_MAD_SQL,
         "events_value_quantiles_by_type":
             textops.EVENTS_QUANTILES_BY_TYPE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

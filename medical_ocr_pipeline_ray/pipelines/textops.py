@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+import ray
 import ray.data as rd
 
 from ..functions.textstats import (DE_STOPS, EN_STOPS, FR_STOPS, exact_hash,
@@ -1175,3 +1176,86 @@ def approx_value_quantiles(sf_dir: str, k: int = 4096):
         idx = min(int(np.ceil(q * n)) - 1, n - 1)
         rows.append({"q": q, "value": float(vals[max(idx, 0)])})
     return pd.DataFrame(rows)
+
+
+def _cont_from_hist(vals: np.ndarray, counts: np.ndarray,
+                    q: float) -> float:
+    """quantile_cont over a sorted integer histogram with DuckDB's
+    exact lerp operand order (``lo·(1−f) + hi·f``)."""
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    h = q * (n - 1)
+    lo = int(np.floor(h))
+    frac = h - np.floor(h)
+    i_lo = int(np.searchsorted(cum, lo + 1))
+    i_hi = int(np.searchsorted(cum, lo + 2)) if lo + 1 < n else i_lo
+    return float(vals[i_lo]) * (1 - frac) + float(vals[i_hi]) * frac
+
+
+def events_value_mad(sf_dir: str):
+    """Per-type median absolute deviation of events.value — the robust
+    dispersion stat, exact: two bounded-histogram passes (the counting
+    pattern composed with itself).  Working in DOUBLED cents keeps the
+    |x − median| domain integral even when the median interpolates
+    between two values (2·median is always an exact integer-sum/2 →
+    representable), so both passes stay integer until the final
+    quantile_cont lerp — bit-equal to the DuckDB oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def hist1(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "c2": 2 * np.rint(df["value"]
+                                            .to_numpy(np.float64) * 100)
+                          .astype(np.int64),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby(["event_type", "c2"], as_index=False).sum()
+
+    h1 = ds.map_batches(hist1, batch_format="pandas") \
+        .groupby(["event_type", "c2"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()                 # bounded: quantized value domain
+    m2 = {}
+    for et, g in h1.groupby("event_type"):
+        g = g.sort_values("c2")
+        m2[et] = _cont_from_hist(g["c2"].to_numpy(np.int64),
+                                 g["n"].to_numpy(np.int64), 0.5)
+    m2_ref = ray.put(m2)
+
+    def hist2(df: pd.DataFrame, _m=m2_ref) -> pd.DataFrame:
+        m = ray.get(_m)
+        c2 = 2 * np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        med = df["event_type"].map(m).to_numpy(np.float64)
+        d2 = np.rint(np.abs(c2 - med)).astype(np.int64)
+        t = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "d2": d2,
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return t.groupby(["event_type", "d2"], as_index=False).sum()
+
+    h2 = ds.map_batches(hist2, batch_format="pandas") \
+        .groupby(["event_type", "d2"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    rows = []
+    for et, g in h2.groupby("event_type"):
+        g = g.sort_values("d2")
+        rows.append({"event_type": et,
+                     "mad": _cont_from_hist(g["d2"].to_numpy(np.int64),
+                                            g["n"].to_numpy(np.int64),
+                                            0.5) / 200.0})
+    return pd.DataFrame(rows).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+EVENTS_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+m AS (
+  SELECT event_type, quantile_cont(2*c, 0.5) AS m2
+  FROM c GROUP BY event_type)
+SELECT c.event_type,
+       quantile_cont(CAST(abs(2*c.c - m.m2) AS BIGINT), 0.5) / 200.0
+         AS mad
+FROM c JOIN m USING (event_type) GROUP BY c.event_type
+"""
