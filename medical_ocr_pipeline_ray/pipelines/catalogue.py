@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             textops.events_value_quantiles_cont,
         "approx_value_quantiles": textops.approx_value_quantiles,
         "events_value_mad": textops.events_value_mad,
+        "doc_sample_k_per_source":
+            textops.doc_sample_k_per_source,
         "events_value_quantiles_by_type":
             textops.events_value_quantiles_by_type,
         "approx_distinct_shingles": textops.approx_distinct_shingles,
@@ -230,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles_cont":
             textops.EVENTS_QUANTILES_CONT_SQL,
         "events_value_mad": textops.EVENTS_MAD_SQL,
+        "doc_sample_k_per_source": textops.DOC_SAMPLE_K_SQL,
         "events_value_quantiles_by_type":
             textops.EVENTS_QUANTILES_BY_TYPE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -1259,3 +1259,49 @@ SELECT c.event_type,
          AS mad
 FROM c JOIN m USING (event_type) GROUP BY c.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact k-per-group deterministic sampling — the fixed-BUDGET companion
+# to the fixed-RATE hash-stratified sampler above (e.g. "25 eval docs
+# per source, reproducibly, on any cluster"): order within each group
+# by md5(doc_id) (a deterministic uniform permutation, no RNG/seed
+# shipping) and keep the first k.  Per-batch partial head-k means each
+# batch contributes ≤ k·|groups| slim rows to the final bounded merge —
+# the local_topk shape applied per group.
+# ---------------------------------------------------------------------------
+
+def doc_sample_k_per_source(sf_dir: str, k: int = 25):
+    """The k docs per source with the smallest md5(doc_id) (hex-string
+    order, doc_id tie-break) — a deterministic per-group sample."""
+    import hashlib
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def partial(df: pd.DataFrame, _k=k) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "source": df["source"].astype(object),
+            "h": [hashlib.md5(str(int(d)).encode()).hexdigest()
+                  for d in df["doc_id"]]})
+        return t.sort_values(["h", "doc_id"], kind="mergesort") \
+            .groupby("source", as_index=False, sort=False).head(_k)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def fold(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(_k)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "source": g["source"].astype(object)})
+
+    return parts.groupby("source").map_groups(fold,
+                                              batch_format="pandas")
+
+
+DOC_SAMPLE_K_SQL = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) <= 25
+"""

@@ -67,6 +67,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "events_asof_attribution", "lineitem_promo_revenue",
     "events_value_quantiles", "events_value_quantiles_by_type",
     "events_value_quantiles_cont", "events_value_mad",
+    "doc_sample_k_per_source",
     "dedup_ngram_jaccard", "doc_term_first_pos", "events_user_rank",
     "events_distinct_users_by_type", "knn_range_search",
     "doc_quality_filter", "doc_sample_stratified",
