@@ -2846,3 +2846,63 @@ SELECT o_orderkey, o_orderpriority,
                                           AS BIGINT)) AS pct_rank
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Frequent co-occurring item pairs (market-basket): top-k part pairs
+# bought together in the same order.  Group-then-rekey shape — pairs
+# can only form once an order's lines are co-located, so the plan is
+# TWO exchanges: (1) bucket by orderkey, fold forms within-order pairs
+# and pre-counts them per bucket (the combiner: a pair's bucket-local
+# count collapses before re-keying); (2) `coarse_topk_counts` re-keys
+# by the pair itself for exact global counts + top-k.  Zero-padded
+# pair strings make the merge's string tie-break equal to numeric
+# (pa, pb) order, mirrored in the oracle's ORDER BY.
+# ---------------------------------------------------------------------------
+
+def part_pairs_topk(sf_dir: str, k: int = 20,
+                    n_buckets: int | None = None):
+    """Top-k (pa, pb, n) part pairs co-occurring within an order."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "lineitem"))
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.drop_duplicates()
+        return pd.DataFrame({
+            "bucket": (t["l_orderkey"].to_numpy() % n_b).astype(np.int32),
+            "l_orderkey": t["l_orderkey"].to_numpy(np.int64),
+            "l_partkey": t["l_partkey"].to_numpy(np.int64)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for _, grp in g.drop_duplicates(["l_orderkey", "l_partkey"]) \
+                .groupby("l_orderkey"):
+            ps = np.sort(grp["l_partkey"].to_numpy(np.int64))
+            for i in range(len(ps) - 1):
+                for j in range(i + 1, len(ps)):
+                    kk = f"{ps[i]:09d}|{ps[j]:09d}"
+                    out[kk] = out.get(kk, 0) + 1
+        return pd.DataFrame({"pair": pd.array(list(out), dtype=object),
+                             "n": np.fromiter(out.values(),
+                                              dtype=np.int64,
+                                              count=len(out))})
+
+    partials = ds.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    top = coarse_topk_counts(partials, "pair", k, n_b)
+    pa_ = top["pair"].str.slice(0, 9).astype(np.int64)
+    pb_ = top["pair"].str.slice(10).astype(np.int64)
+    return pd.DataFrame({"pa": pa_, "pb": pb_,
+                         "n": top["n"].to_numpy(np.int64)})
+
+
+PART_PAIRS_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb
+ORDER BY n DESC, pa, pb LIMIT 20
+"""

@@ -89,7 +89,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "part_fuzzy_match_counts", "events_views_vs_purchases",
     "nation_segments_agg", "orders_above_customer_avg",
     "lineitem_cube", "parts_shipped_both_years",
-    "orders_percent_rank",
+    "orders_percent_rank", "part_pairs_topk",
     "corpus_build_pipeline",
     "parts_shipped_1996_only",
 ])
