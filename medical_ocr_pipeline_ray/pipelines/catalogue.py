@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": relational.lineitem_cube,
         "orders_percent_rank": relational.orders_percent_rank,
         "part_pairs_topk": relational.part_pairs_topk,
+        "lineitem_regression": relational.lineitem_regression,
         "parts_shipped_both_years":
             relational.parts_shipped_both_years,
         "parts_shipped_1996_only":
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_cube": relational.LINEITEM_CUBE_SQL,
         "orders_percent_rank": relational.ORDERS_PCT_RANK_SQL,
         "part_pairs_topk": relational.PART_PAIRS_SQL,
+        "lineitem_regression": relational.LINEITEM_REGRESSION_SQL,
         "parts_shipped_both_years": relational.PARTS_INTERSECT_SQL,
         "parts_shipped_1996_only": relational.PARTS_EXCEPT_SQL,
         "doc_top_bigrams": textops.DOC_TOP_BIGRAMS_SQL,

@@ -2906,3 +2906,71 @@ p AS (
 SELECT pa, pb, count(*) AS n FROM p GROUP BY pa, pb
 ORDER BY n DESC, pa, pb LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped least-squares regression (price vs quantity per returnflag) —
+# the regr_slope/regr_intercept family, from the SAME exact integer
+# moments as ``lineitem_corr``: int64 per-batch partials, Python-int
+# combine, closed-form float finish mirrored verbatim in the oracle
+# (the SQL recomputes from HUGEINT moments rather than calling
+# regr_slope, whose streaming float accumulation is summation-order-
+# dependent and would not be bit-equal).
+# ---------------------------------------------------------------------------
+
+def lineitem_regression(sf_dir: str):
+    """Per-returnflag OLS fit of extendedprice (cents) on quantity:
+    slope, intercept, n."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        y = _cents(df["l_extendedprice"])
+        t = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "n": np.ones(len(df), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return t.groupby("l_returnflag", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=8192)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        n = sum(int(v) for v in g["n"])
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        a = n * sxy - sx * sy
+        b = n * sxx - sx * sx
+        slope = float(a) / float(b)
+        intercept = (float(sy) - slope * float(sx)) / n
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "slope": [slope],
+                             "intercept": [intercept],
+                             "n": np.asarray([n], dtype=np.int64)})
+
+    return partials.groupby("l_returnflag").map_groups(
+        fold, batch_format="pandas")
+
+
+LINEITEM_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+    sum(CAST(round(l_quantity) AS BIGINT)
+        * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+    sum(CAST(round(l_quantity) AS BIGINT)
+        * CAST(round(l_quantity) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE)
+   - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+     * CAST(sx AS DOUBLE)) / n AS intercept,
+  n
+FROM m
+"""

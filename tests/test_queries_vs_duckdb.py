@@ -90,6 +90,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "nation_segments_agg", "orders_above_customer_avg",
     "lineitem_cube", "parts_shipped_both_years",
     "orders_percent_rank", "part_pairs_topk",
+    "lineitem_regression",
     "corpus_build_pipeline",
     "parts_shipped_1996_only",
 ])
