@@ -54,7 +54,94 @@ def assemble_convs(sf_dir: str):
         ["conv_id", "n_turns", "content_chars", "sha256"])
 
 
+# ---------------------------------------------------------------------------
+# Driver CORRECTNESS board rotation
+# ---------------------------------------------------------------------------
+# The driver's correctness gate checks only the FIRST 50 entries of
+# ``queries()`` in insertion order.  To get every oracled operator a
+# driver-green row within two rounds, ``queries()`` is ordered as
+# ``_BOARD`` (the 50 slots for THIS round — all oracle-backed) followed by
+# the remaining catalogue entries in their stable definition order.
+#
+# Rotation plan:
+#   round 4 (_BOARD below): the 49 oracled queries that never received a
+#     driver row in rounds 1-3 (corpus layer, window/analytics, Q5/Q10,
+#     dedup_ngram_jaccard, knn_range_search/label_predict, ...) plus
+#     dedup_exact (green r1/r2, fell off the r3 board), plus the
+#     newly-oracled turn-side queries (annotate_turn_entities,
+#     segment_turns, best_variant_extraction, engine_block_stats,
+#     approx_distinct_shingles).
+#   round 5: everything not on the round-4 board — the 35 queries green in
+#     rounds 1-3 (q1/q3, joins, sessions/windows, doc_stats family,
+#     knn_brute_force, ...) plus any round-4 spill — so that
+#     board(r4) ∪ board(r5) ∪ green(r1-r3) covers all oracled queries.
+_BOARD: list[str] = [
+    # corpus-construction layer (never driver-checked before r4)
+    "doc_segment_dedup",
+    "doc_chunks",
+    "doc_unigram_commonness",
+    "bigram_postings",
+    "doc_domain_counts",
+    "doc_pack_bins",
+    "corpus_build_pipeline",
+    "doc_dup_spans",
+    "doc_vocab_oov",
+    "doc_keep_best_per_source",
+    # dedup / similarity (exact-oracled members)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "knn_range_search",
+    "knn_label_predict",
+    "embedding_label_centroids",
+    # text-analysis layer
+    "doc_token_count",
+    "doc_normalize_text",
+    "doc_top_bigrams",
+    "annotate_doc_entities",
+    "doc_decontaminate",
+    "doc_repetition_stats",
+    "doc_length_histogram",
+    "doc_heavy_hitters",
+    # heavy relational shapes
+    "q5_region_revenue",
+    "q10_returned_revenue",
+    "lineitem_regression",
+    "lineitem_cube",
+    "lineitem_rollup",
+    "lineitem_corr",
+    "part_pairs_topk",
+    "part_fuzzy_match_counts",
+    "part_mode_brand",
+    "part_revenue_share",
+    "parts_shipped_both_years",
+    "parts_shipped_1996_only",
+    "nation_segments_agg",
+    "orders_above_customer_avg",
+    "orders_percent_rank",
+    "orders_running_total",
+    "orders_month_over_month",
+    "supplier_topk_per_nation",
+    # window / analytics layer over events
+    "events_outliers",
+    "events_views_vs_purchases",
+    "events_gap_stats",
+    "events_funnel",
+    "events_lag_delta",
+    "events_pivot_daily",
+    "events_rolling_avg",
+    "events_daily_active_users",
+    "customer_ntile_by_nation",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    cat = _catalogue()
+    board = [n for n in _BOARD if n in cat]
+    rest = [n for n in cat if n not in set(board)]
+    return {n: cat[n] for n in board + rest}
+
+
+def _catalogue() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (SURVEY §2.2/§2.9/§2.7 core)
         "extract_turns": extract_turns,
