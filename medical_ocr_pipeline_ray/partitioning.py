@@ -49,6 +49,52 @@ def buckets_for(est_bytes: int | None = None, *, floor: int | None = None,
     return max(floor, -(-int(est_bytes) // int(target_bytes)))
 
 
+# A broadcast small side (ray.put once, ray.get per task) must fit every
+# worker heap alongside the batch being processed.  256 MB is the same
+# order as one exchange bucket; anything bigger should be a partitioned
+# join, not a broadcast.
+BROADCAST_CAP_BYTES = 256 * 1024 * 1024
+
+
+def est_object_bytes(obj) -> int:
+    """Order-of-magnitude heap estimate for broadcast-cap checks (NOT an
+    exact accounting): payload bytes plus ~64 B/element container
+    overhead for the common shapes (str/bytes collections, dicts, numpy,
+    pandas, arrow)."""
+    import numpy as np
+    if isinstance(obj, (bytes, bytearray, str)):
+        return len(obj)
+    if isinstance(obj, np.ndarray):
+        return int(obj.nbytes)
+    if hasattr(obj, "memory_usage"):                       # pandas
+        usage = obj.memory_usage(deep=True)
+        return int(usage.sum()) if hasattr(usage, "sum") else int(usage)
+    if hasattr(obj, "nbytes"):                             # arrow
+        return int(obj.nbytes)
+    if isinstance(obj, (set, frozenset, list, tuple)):
+        return sum(est_object_bytes(x) + 64 for x in obj)
+    if isinstance(obj, dict):
+        return sum(est_object_bytes(k) + est_object_bytes(v) + 64
+                   for k, v in obj.items())
+    return 64
+
+
+def checked_put(obj, what: str, cap: int = BROADCAST_CAP_BYTES):
+    """``ray.put`` with a build-time size assertion: raises instead of
+    silently broadcasting an unbounded small side (an eval set, a dict
+    table, a vocabulary) that stopped being small.  The error names the
+    partitioned-join escape hatch because that IS the fix at scale."""
+    est = est_object_bytes(obj)
+    if est > cap:
+        raise ValueError(
+            f"broadcast side '{what}' is ~{est // (1024 * 1024)} MB "
+            f"(cap {cap // (1024 * 1024)} MB): too big to ship to every "
+            "worker — use a partitioned/bucketed join instead of a "
+            "broadcast, or raise the cap deliberately")
+    import ray
+    return ray.put(obj)
+
+
 def table_bytes(sf_dir: str, name: str) -> int | None:
     """On-disk bytes of one input parquet table (file or directory) - the
     cheap, metadata-free estimate ``buckets_for`` wants.  Compressed bytes

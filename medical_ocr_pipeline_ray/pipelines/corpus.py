@@ -38,7 +38,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.fingerprint import words
-from ..partitioning import buckets_for, table_bytes
+from ..partitioning import buckets_for, checked_put, table_bytes
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -689,10 +689,11 @@ def doc_vocab_oov(sf_dir: str, vocab_size: int = _VOCAB_SIZE,
     partials = _docs(sf_dir, columns=("text",)) \
         .map_batches(partial, batch_format="pandas")
     vocab_df = coarse_topk_counts(partials, "token", vocab_size, n_b)
-    import ray
-    vocab_ref = ray.put(frozenset(vocab_df["token"]))
+    vocab_ref = checked_put(frozenset(vocab_df["token"]),
+                            "OOV vocabulary")
 
     def scan(df: pd.DataFrame, _ref=vocab_ref) -> pd.DataFrame:
+        import ray
         vocab = ray.get(_ref)           # per-worker plasma-cached
         ids, nt, noov = [], [], []
         for did, t in zip(df["doc_id"], df["text"]):

@@ -35,7 +35,12 @@ made cluster label propagation provably convergent):
 - hot LSH buckets (> ``MAX_BUCKET`` docs) degrade to STAR pairing against
   the bucket's min-id representative: linear in bucket size, preserves
   duplicate-cluster connectivity (every member still links to the
-  representative), and nothing is silently dropped.
+  representative), and nothing is silently dropped.  Genuinely MIXED hot
+  buckets (two distinct clusters behind one band key) are recovered by
+  ``_verify_with_rescue``: members whose star pair fails verification are
+  re-probed with a residual star (min-id of the failed set) for a bounded
+  number of rounds — one round per distinct cluster in the bucket, linear
+  pairs per round.
 """
 
 from __future__ import annotations
@@ -109,8 +114,14 @@ FROM documents GROUP BY md5(text)
 # candidate-pair frameworks (shared plumbing)
 # ---------------------------------------------------------------------------
 
+MAX_EXACT_PAIRS_PER_BUCKET = 1 << 25        # ~0.5 GB of id pairs
+
+
 def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
-                        n_coarse: int | None = None):
+                        n_coarse: int | None = None,
+                        hot_mode: str = "star",
+                        emit_hot_key: bool = False,
+                        only_hot_star: bool = False):
     """bucket rows (key, doc_id) → candidate pairs (doc_a < doc_b).
 
     The shuffle key is a COARSE hash of the bucket key (Ray pays ~1 ms of
@@ -133,9 +144,23 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
     links; members of a genuinely mixed hot bucket also typically share
     several other band keys with their true twins (16 bands / 4 chunks),
     which re-surfaces those pairs through non-hot buckets.  Callers that
-    cannot accept the assumption should raise ``max_bucket`` or
-    salt-split hot buckets instead."""
+    cannot accept the assumption have two outs:
+
+    - ``hot_mode="exact"`` (the SQL-oracled ``dedup_ngram_jaccard``):
+      hot buckets emit the FULL quadratic — oracle parity can never
+      silently break — with a loud ``ValueError`` past
+      ``MAX_EXACT_PAIRS_PER_BUCKET`` (the caller must widen its blocking
+      key; a silent cap would be a wrong answer, an OOM a confusing
+      one).
+    - ``emit_hot_key=True`` (the LSH/simhash scale path): star pairs
+      carry their fine bucket key in a ``hot_key`` column (-1 for
+      normal pairs) so ``_verify_with_rescue`` can re-probe hot buckets
+      whose star pairs FAIL verification — the salt-split fallback for
+      genuinely mixed hot buckets."""
     import zlib
+
+    if hot_mode not in ("star", "exact"):
+        raise ValueError(f"hot_mode must be star|exact, got {hot_mode!r}")
 
     n_coarse = n_coarse or buckets_for()
 
@@ -150,23 +175,43 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
         return df.assign(coarse=cb.astype(np.int32))
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs_a, outs_b = [], []
+        outs_a, outs_b, outs_h = [], [], []
         for _key, sub in g.groupby(key_col, sort=True):
             ids = np.unique(sub["doc_id"].to_numpy().astype(np.int64))
             if len(ids) < 2:
                 continue
-            if len(ids) > max_bucket:
+            hot = len(ids) > max_bucket
+            if only_hot_star and not hot:
+                continue
+            if hot and hot_mode == "star":
                 outs_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
                 outs_b.append(ids[1:])
+                if emit_hot_key:
+                    outs_h.append(np.full(len(ids) - 1, np.int64(_key),
+                                          dtype=np.int64))
             else:
+                n_pairs = len(ids) * (len(ids) - 1) // 2
+                if hot and n_pairs > MAX_EXACT_PAIRS_PER_BUCKET:
+                    raise ValueError(
+                        f"exact hot bucket {_key!r} would emit {n_pairs} "
+                        f"pairs (> {MAX_EXACT_PAIRS_PER_BUCKET}); widen "
+                        "the blocking key instead of silently capping")
                 ia, ib = np.triu_indices(len(ids), k=1)
                 outs_a.append(ids[ia])
                 outs_b.append(ids[ib])
+                if emit_hot_key:
+                    outs_h.append(np.full(n_pairs, -1, dtype=np.int64))
         if not outs_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
-                             "doc_b": np.concatenate(outs_b)})
+            out = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                "doc_b": pd.Series([], dtype=np.int64)})
+            if emit_hot_key:
+                out["hot_key"] = pd.Series([], dtype=np.int64)
+            return out
+        out = pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                            "doc_b": np.concatenate(outs_b)})
+        if emit_hot_key:
+            out["hot_key"] = np.concatenate(outs_h)
+        return out
 
     # NOTE: a pair can surface from several buckets.  Deduping 10^5+
     # candidate keys through their own shuffle costs far more than
@@ -259,9 +304,23 @@ _SHINGLE_CACHE_MAX_BYTES = 256 * 1024 * 1024
 _shingle_cache_bytes = 0
 
 
-def _cached_shingles(text: str, k: int) -> frozenset:
+def _cached_shingles(text: str, k: int,
+                     content_keys: bool = False) -> frozenset:
     global _shingle_cache_bytes
-    key = (k, len(text), hash(text))
+    if content_keys:
+        # SQL-oracled path (dedup_ngram_jaccard): key on a 16-byte
+        # blake2b digest of the text — content-derived and collision-
+        # negligible (~2^-64 even at 10^12 docs), so a salted-siphash
+        # collision between equal-length texts can never silently return
+        # the wrong shingle set and break the bit-exact-oracle claim.
+        # The sketch-verified paths keep hash(str): the digest costs a
+        # full pass over the text per lookup, measured as a real tax on
+        # the verify hot path, and those operators tolerate ~1e-9 odds.
+        import hashlib
+        key = (k, -1, hashlib.blake2b(text.encode(), digest_size=16)
+               .digest())
+    else:
+        key = (k, len(text), hash(text))
     s = _SHINGLE_CACHE.get(key)
     if s is None:
         s = frozenset(shingles(text, k))
@@ -296,7 +355,9 @@ def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
     for a, b, ta, tb in zip(df["doc_a"], df["doc_b"],
                             df["text_a"], df["text_b"]):
         if mode == "jaccard":
-            sa, sb = _cached_shingles(ta, k), _cached_shingles(tb, k)
+            exact = round_digits is None
+            sa = _cached_shingles(ta, k, content_keys=exact)
+            sb = _cached_shingles(tb, k, content_keys=exact)
             if not sa and not sb:
                 s = 1.0
             elif not sa or not sb:
@@ -319,20 +380,144 @@ def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
 
 
 def _verify(cands, sf_dir: str, mode: str, k: int, threshold: float,
-            round_digits: int | None = 6):
+            round_digits: int | None = 6, corpus=None):
     """Candidate pairs → verified pairs via the two-stage partitioned
     text join + stateless exact check.  Pair dedup rides the first join
     (all copies of a pair share doc_a → same bucket), so no extra
-    shuffle round."""
+    shuffle round.  ``corpus`` overrides the default augmented corpus
+    (tests inject adversarial fixtures)."""
     # size the join partitions to the corpus (P ~ bytes/256 MB at scale,
     # CPU floor at test tiers)
-    p = buckets_for(table_bytes(sf_dir, "documents"))
-    with_a = _attach_text(cands, augmented_docs(sf_dir), "a", n_buckets=p)
-    with_ab = _attach_text(with_a, augmented_docs(sf_dir), "b", n_buckets=p)
+    p = buckets_for(table_bytes(sf_dir, "documents")) if corpus is None \
+        else buckets_for()
+    corpus_a = augmented_docs(sf_dir) if corpus is None else corpus
+    corpus_b = augmented_docs(sf_dir) if corpus is None else corpus
+    with_a = _attach_text(cands, corpus_a, "a", n_buckets=p)
+    with_ab = _attach_text(with_a, corpus_b, "b", n_buckets=p)
     return with_ab.map_batches(
         _verify_pairs, batch_format="pandas",
         fn_kwargs={"mode": mode, "k": k, "threshold": threshold,
                    "round_digits": round_digits})
+
+
+def _verify_with_rescue(keyed, key_col: str, sf_dir: str, mode: str,
+                        k: int, threshold: float,
+                        max_bucket: int = MAX_BUCKET,
+                        max_rounds: int = 4, corpus=None):
+    """Pair generation + verify with the MIXED-HOT-BUCKET rescue the
+    star-pairing assumption needs (``_pairs_from_buckets`` docstring):
+    when a hot bucket's star pairs FAIL verification, its failed members
+    are re-probed with a residual star — min-id of the failed set becomes
+    the next representative — for up to ``max_rounds`` rounds.  Each
+    round strictly shrinks the residual (the round's rep leaves it), so a
+    hot bucket holding C distinct duplicate clusters resolves all of them
+    in C rounds, at linear pairs per round (bounded quadratic overall,
+    ``rounds × bucket_size`` — never the n² of a naive split).
+
+    Common-path cost: the single pairing exchange now materializes its
+    (doc_a, doc_b, hot_key) output — ids only, the same slim shape
+    ``dedup_clusters`` already materializes as its edge list — so the
+    hot split is a filter over cached blocks, not a second exchange;
+    with no hot buckets (the overwhelmingly normal case) the streaming
+    verify proceeds over the cached candidates untouched."""
+    import logging
+
+    cands = _pairs_from_buckets(keyed, key_col, max_bucket=max_bucket,
+                                emit_hot_key=True).materialize()
+    verified = _verify(cands, sf_dir, mode, k, threshold, corpus=corpus)
+
+    def only_hot(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["hot_key"] >= 0]
+
+    pending = cands.map_batches(only_hot, batch_format="pandas") \
+        .materialize()
+    if pending.count() == 0:
+        return verified
+
+    p = buckets_for()
+
+    def anti_pairs(pend, verif):
+        """pend (doc_a, doc_b, hot_key) minus verif (doc_a, doc_b) —
+        bucketed on doc_a so neither side is broadcast."""
+        def key_p(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": (df["doc_a"].to_numpy() % p).astype(np.int32),
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
+                "hot_key": df["hot_key"].to_numpy(np.int64),
+                "side": np.zeros(len(df), dtype=np.int8)})
+
+        def key_v(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "bucket": (df["doc_a"].to_numpy() % p).astype(np.int32),
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
+                "hot_key": np.full(len(df), -1, dtype=np.int64),
+                "side": np.ones(len(df), dtype=np.int8)})
+
+        both = pend.map_batches(key_p, batch_format="pandas").union(
+            verif.map_batches(key_v, batch_format="pandas"))
+
+        def drop_verified(g: pd.DataFrame) -> pd.DataFrame:
+            ok = set(zip(g.loc[g["side"] == 1, "doc_a"].astype(int),
+                         g.loc[g["side"] == 1, "doc_b"].astype(int)))
+            c = g[g["side"] == 0]
+            keep = [
+                (int(a), int(b)) not in ok
+                for a, b in zip(c["doc_a"], c["doc_b"])]
+            c = c[np.array(keep, dtype=bool)] if len(c) else c
+            return pd.DataFrame({
+                "doc_a": c["doc_a"].to_numpy(np.int64),
+                "doc_b": c["doc_b"].to_numpy(np.int64),
+                "hot_key": c["hot_key"].to_numpy(np.int64)})
+
+        return both.groupby("bucket").map_groups(drop_verified,
+                                                 batch_format="pandas")
+
+    def residual_star(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_b"].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "hot_key": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({
+            "doc_a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
+            "doc_b": ids[1:],
+            "hot_key": np.full(len(ids) - 1,
+                               np.int64(g["hot_key"].iloc[0]),
+                               dtype=np.int64)})
+
+    verified = verified.materialize()   # reused: anti join + output union
+    outputs = [verified]
+    union_all = verified
+    for _ in range(max_rounds):
+        # members whose star pair verified NOWHERE yet (any band) need
+        # the residual probe; anti join vs the cumulative verified set
+        failed = anti_pairs(pending, union_all).materialize()
+        if failed.count() == 0:
+            break
+        pending = failed.groupby("hot_key").map_groups(
+            residual_star, batch_format="pandas")
+        # a residual pair may already be verified via another band —
+        # skip it so the output never carries duplicate pair rows
+        pending = anti_pairs(pending, union_all).materialize()
+        if pending.count() == 0:
+            break
+        new_v = _verify(pending, sf_dir, mode, k, threshold,
+                        corpus=corpus).materialize()
+        outputs.append(new_v)
+        union_all = union_all.union(new_v)
+    else:
+        logging.getLogger(__name__).warning(
+            "hot-bucket rescue still had unresolved members after %d "
+            "rounds; remaining members matched none of the tried "
+            "representatives", max_rounds)
+
+    out = outputs[0]
+    for extra in outputs[1:]:
+        out = out.union(extra)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +535,8 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, k: int = 3):
         return pd.DataFrame({"band_key": keys.reshape(-1), "doc_id": ids})
 
     keyed = aug.map_batches(bands, batch_format="pandas", batch_size=1024)
-    cands = _pairs_from_buckets(keyed, "band_key")
-    return _verify(cands, sf_dir, "jaccard", k, threshold)
+    return _verify_with_rescue(keyed, "band_key", sf_dir, "jaccard", k,
+                               threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -373,8 +558,8 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 6):
                              "doc_id": ids})
 
     keyed = aug.map_batches(chunks, batch_format="pandas", batch_size=512)
-    cands = _pairs_from_buckets(keyed, "chunk_key")
-    return _verify(cands, sf_dir, "hamming", 1, float(max_hamming))
+    return _verify_with_rescue(keyed, "chunk_key", sf_dir, "hamming", 1,
+                               float(max_hamming))
 
 
 # ---------------------------------------------------------------------------
@@ -398,8 +583,12 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
 
     keyed = aug.map_batches(buckets, batch_format="pandas")
     # length blocking is the quadratic-within-block BASELINE variant (the
-    # LSH operators are the scale path) → allow big buckets here
-    cands = _pairs_from_buckets(keyed, "len_bucket", max_bucket=4096)
+    # LSH operators are the scale path) → allow big buckets here, and
+    # keep the FULL quadratic past the cap (hot_mode="exact"): unlike
+    # LSH bands, BOTH probe buckets of a hot length band are hot, so a
+    # star degradation would silently break the exact-oracle claim
+    cands = _pairs_from_buckets(keyed, "len_bucket", max_bucket=4096,
+                                hot_mode="exact")
     # raw IEEE similarity (no rounding): this operator carries an exact
     # DuckDB oracle and len/len double division matches bit-for-bit
     return _verify(cands, sf_dir, "jaccard", k, threshold,
@@ -447,7 +636,7 @@ WHERE similarity >= 0.8
 # near-dup graph → cluster assignment (distributed connected components)
 # ---------------------------------------------------------------------------
 
-def dedup_clusters(sf_dir: str, max_iters: int = 8):
+def dedup_clusters(sf_dir: str, max_iters: int = 8, pairs=None):
     """Connected components over the near-duplicate pair graph — the
     DECISION step of corpus dedup (which docs collapse into one cluster,
     who is the canonical representative = min doc_id).
@@ -465,8 +654,9 @@ def dedup_clusters(sf_dir: str, max_iters: int = 8):
     each round so block counts stay flat (Ray unions concatenate block
     lists — unchecked, per-round groupby overhead would grow linearly).
     No driver-side union-find: the same loop runs at any edge-list
-    scale."""
-    pairs = dedup_minhash_lsh(sf_dir)
+    scale.  ``pairs`` overrides the default LSH edge source (tests
+    inject adversarial pair sets)."""
+    pairs = pairs if pairs is not None else dedup_minhash_lsh(sf_dir)
     # ONE bucket modulus for the whole propagation loop (edges and labels
     # must agree on node ownership); block count scaled to the cluster
     n_label_buckets = buckets_for()
@@ -596,13 +786,16 @@ def dedup_clusters(sf_dir: str, max_iters: int = 8):
 # broadcast (at web scale the removed fraction is 20-50% of all docs).
 # ---------------------------------------------------------------------------
 
-def dedup_pipeline(sf_dir: str, n_buckets: int | None = None):
+def dedup_pipeline(sf_dir: str, n_buckets: int | None = None,
+                   pairs=None, corpus=None):
     """Surviving doc_ids after full near-duplicate collapse over the
     augmented corpus (same planted twins as the family's other entries).
     Returns one row per kept doc — cluster members keep only the min-id
-    representative."""
-    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
-    clusters = dedup_clusters(sf_dir)
+    representative.  ``pairs``/``corpus`` override the LSH edge source
+    and the doc universe (tests inject adversarial fixtures)."""
+    n_b = n_buckets or (buckets_for(table_bytes(sf_dir, "documents"))
+                        if corpus is None else buckets_for())
+    clusters = dedup_clusters(sf_dir, pairs=pairs)
 
     def key_removed(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] != df["cluster_rep"]]
@@ -617,7 +810,8 @@ def dedup_pipeline(sf_dir: str, n_buckets: int | None = None):
             "doc_id": df["doc_id"].to_numpy(np.int64),
             "side": np.zeros(len(df), dtype=np.int8)})
 
-    corpus = augmented_docs(sf_dir).select_columns(["doc_id"])
+    corpus = (augmented_docs(sf_dir) if corpus is None else corpus) \
+        .select_columns(["doc_id"])
     both = corpus.map_batches(key_corpus, batch_format="pandas").union(
         clusters.map_batches(key_removed, batch_format="pandas"))
 

@@ -29,7 +29,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..partitioning import buckets_for, table_bytes
+from ..partitioning import buckets_for, checked_put, table_bytes
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -185,7 +185,7 @@ class _SegmentLookup:
 def join_orders_customer_segment(sf_dir: str):
     cust = pq.read_table(_t(sf_dir, "customer"),
                          columns=["c_custkey", "c_mktsegment"]).to_pydict()
-    cust_ref = ray.put(cust)
+    cust_ref = checked_put(cust, "customer dim (custkey->segment)")
     ds = rd.read_parquet(_t(sf_dir, "orders"),
                          columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(_SegmentLookup, batch_format="pandas",
@@ -215,7 +215,7 @@ def join_customer_nation_balance(sf_dir: str):
     nation = pq.read_table(_t(sf_dir, "nation"),
                            columns=["n_nationkey", "n_name"]).to_pydict()
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    nref = ray.put(nmap)
+    nref = checked_put(nmap, "nation name map")
     ds = rd.read_parquet(_t(sf_dir, "customer"),
                          columns=["c_nationkey", "c_acctbal"])
 
@@ -746,7 +746,8 @@ def q3_segment_revenue(sf_dir: str, segment: str = "BUILDING", k: int = 10):
     cust = pq.read_table(
         _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"],
         filters=[("c_mktsegment", "==", segment)])
-    seg_ref = ray.put(set(cust["c_custkey"].to_pylist()))
+    seg_ref = checked_put(set(cust["c_custkey"].to_pylist()),
+                          "segment customer keys")
     n_buckets = buckets_for(table_bytes(sf_dir, "lineitem"))
 
     orders = rd.read_parquet(_t(sf_dir, "orders"),
@@ -1220,7 +1221,7 @@ def q5_region_revenue(sf_dir: str, region: str = "ASIA",
     rk = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == region}
     names = {r["n_nationkey"]: r["n_name"] for r in nat.to_pylist()
              if r["n_regionkey"] in rk}
-    nk_ref = ray.put(names)
+    nk_ref = checked_put(names, "region nation names")
     nb_cust = buckets_for(table_bytes(sf_dir, "customer"))
     nb_li = buckets_for(table_bytes(sf_dir, "lineitem"))
     nb_supp = buckets_for(table_bytes(sf_dir, "supplier"))
@@ -1849,7 +1850,7 @@ def q10_returned_revenue(sf_dir: str, date_lo: str = "1996-07-01",
              for r in pq.read_table(
                  _t(sf_dir, "nation"),
                  columns=["n_nationkey", "n_name"]).to_pylist()}
-    names_ref = ray.put(names)
+    names_ref = checked_put(names, "nation names")
 
     # --- exchange 1: lineitem('R') ⋈ orders(quarter) on orderkey ----------
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
@@ -2881,7 +2882,11 @@ def part_pairs_topk(sf_dir: str, k: int = 20,
             ps = np.sort(grp["l_partkey"].to_numpy(np.int64))
             for i in range(len(ps) - 1):
                 for j in range(i + 1, len(ps)):
-                    kk = f"{ps[i]:09d}|{ps[j]:09d}"
+                    # 19 digits = full non-negative int64 range, so the
+                    # string tie-break stays equal to numeric (pa, pb)
+                    # order at any TPC-H scale factor (partkeys pass 1e9
+                    # around sf5000)
+                    kk = f"{ps[i]:019d}|{ps[j]:019d}"
                     out[kk] = out.get(kk, 0) + 1
         return pd.DataFrame({"pair": pd.array(list(out), dtype=object),
                              "n": np.fromiter(out.values(),
@@ -2891,8 +2896,8 @@ def part_pairs_topk(sf_dir: str, k: int = 20,
     partials = ds.map_batches(key, batch_format="pandas") \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
     top = coarse_topk_counts(partials, "pair", k, n_b)
-    pa_ = top["pair"].str.slice(0, 9).astype(np.int64)
-    pb_ = top["pair"].str.slice(10).astype(np.int64)
+    pa_ = top["pair"].str.slice(0, 19).astype(np.int64)
+    pb_ = top["pair"].str.slice(20).astype(np.int64)
     return pd.DataFrame({"pa": pa_, "pb": pb_,
                          "n": top["n"].to_numpy(np.int64)})
 

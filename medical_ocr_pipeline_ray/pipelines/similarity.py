@@ -435,17 +435,37 @@ def build_ivf_layout(sf_dir: str, layout_dir: str,
 
 def _ivf_layout_cached(sf_dir: str, n_centroids: int) -> str:
     """Build (or reuse) the cell-partitioned layout under /tmp — the
-    at-scale equivalent is a one-time corpus re-layout job."""
+    at-scale equivalent is a one-time corpus re-layout job.
+
+    The cache tag includes the source parquet's (size, mtime_ns) so a
+    regenerated embeddings.parquet invalidates the layout instead of
+    silently serving stale cells, and the ``_done`` marker is written
+    atomically (tempfile + rename) so a concurrent builder either sees a
+    complete layout or none."""
     import hashlib as _h
     import os
-    tag = _h.md5(f"{os.path.abspath(sf_dir)}:{n_centroids}".encode()) \
-        .hexdigest()[:12]
+    import tempfile
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = _h.md5(f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:"
+                 f"{n_centroids}".encode()).hexdigest()[:12]
     layout = f"/tmp/mopr_ivf/{tag}"
     marker = os.path.join(layout, "_done")
     if not os.path.exists(marker):
-        os.makedirs(layout, exist_ok=True)
-        build_ivf_layout(sf_dir, layout, n_centroids)
-        open(marker, "w").close()
+        # build into a process-private dir, then publish the whole layout
+        # with one atomic rename — a concurrent builder either wins the
+        # rename or discards its scratch copy; readers only ever see a
+        # complete layout
+        os.makedirs("/tmp/mopr_ivf", exist_ok=True)
+        scratch = tempfile.mkdtemp(dir="/tmp/mopr_ivf",
+                                   prefix=f".build-{tag}-")
+        build_ivf_layout(sf_dir, scratch, n_centroids)
+        open(os.path.join(scratch, "_done"), "w").close()
+        try:
+            os.rename(scratch, layout)
+        except OSError:        # another process published first
+            import shutil
+            shutil.rmtree(scratch, ignore_errors=True)
     return layout
 
 

@@ -491,8 +491,10 @@ def doc_sample_stratified(sf_dir: str, rates=(("en", 30),), default: int = 10):
     (Knuth multiplicative hash).  The scale-correct sampler: reproducible
     across engines, runs and cluster sizes, no seed shipping, and a
     resumed job re-derives the exact same sample.  Embarrassingly
-    parallel batch filter.  (Multiplication stays in int64 for doc_id
-    < ~3.5e9; salt-and-rehash with a 32-bit fold beyond that.)"""
+    parallel batch filter.  (Multiplication is uint64 and wraps mod 2^64
+    on BOTH engines — numpy uint64 wraps natively, the oracle computes
+    in HUGEINT and takes % 2^64 explicitly — so engines agree at any
+    doc_id, not just below the int64 overflow point ~3.5e9.)"""
     import ray.data as rd
     rate_map = dict(rates)
 
@@ -500,8 +502,8 @@ def doc_sample_stratified(sf_dir: str, rates=(("en", 30),), default: int = 10):
                          columns=["doc_id", "lang"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df["doc_id"].to_numpy().astype(np.int64)
-             * np.int64(2654435761)) % 100
+        h = ((df["doc_id"].to_numpy().astype(np.uint64)
+              * np.uint64(2654435761)) % np.uint64(100)).astype(np.int64)
         r = df["lang"].map(rate_map).fillna(default).to_numpy()
         keep = h < r
         return pd.DataFrame({
@@ -513,7 +515,8 @@ def doc_sample_stratified(sf_dir: str, rates=(("en", 30),), default: int = 10):
 
 DOC_SAMPLE_SQL = """
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 100 <
+WHERE ((CAST(doc_id AS HUGEINT) * 2654435761)
+       % 18446744073709551616) % 100 <
       (CASE WHEN lang = 'en' THEN 30 ELSE 10 END)
 """
 
@@ -823,8 +826,12 @@ def doc_decontaminate(sf_dir: str, k: int = 5, eval_n: int = 100):
     ds = _docs(sf_dir)
 
     def hkey(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df["doc_id"].to_numpy().astype(np.int64)
-             * np.int64(2654435761)) % np.int64(1 << 32)
+        # uint64 multiply wraps mod 2^64; 2^32 divides 2^64 so the final
+        # % 2^32 equals the HUGEINT expression in the oracle at any
+        # doc_id (BIGINT multiply would raise in DuckDB past overflow)
+        h = ((df["doc_id"].to_numpy().astype(np.uint64)
+              * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.int64)
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy().astype(np.int64),
             "text": df["text"], "hkey": h})
@@ -839,7 +846,8 @@ def doc_decontaminate(sf_dir: str, k: int = 5, eval_n: int = 100):
 
     eval_ids = frozenset(int(i) for i in eval_df["doc_id"])
     eval_sh = frozenset().union(*map(doc_shingles, eval_df["text"]))
-    ref = ray.put((eval_ids, eval_sh))
+    from ..partitioning import checked_put
+    ref = checked_put((eval_ids, eval_sh), "decontamination eval set")
 
     def flag(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
         ids_, sh_ = ray.get(_ref)
@@ -860,7 +868,7 @@ def doc_decontaminate(sf_dir: str, k: int = 5, eval_n: int = 100):
 DOC_DECONTAMINATE_SQL = """
 WITH ranked AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
-         (doc_id * 2654435761) % 4294967296 AS hkey
+         (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hkey
   FROM documents),
 eval_ids AS (SELECT doc_id FROM ranked ORDER BY hkey, doc_id LIMIT 100),
 shingled AS (
@@ -1221,7 +1229,8 @@ def events_value_mad(sf_dir: str):
         g = g.sort_values("c2")
         m2[et] = _cont_from_hist(g["c2"].to_numpy(np.int64),
                                  g["n"].to_numpy(np.int64), 0.5)
-    m2_ref = ray.put(m2)
+    from ..partitioning import checked_put
+    m2_ref = checked_put(m2, "per-type medians")
 
     def hist2(df: pd.DataFrame, _m=m2_ref) -> pd.DataFrame:
         m = ray.get(_m)

@@ -162,8 +162,8 @@ def boundaries_for_megaset(turns_slim, mega_totals: dict, budget: int,
             "turn-span salting", len(mega_totals), cap, cap)
         keep = sorted(mega_totals, key=lambda c: (-mega_totals[c], c))[:cap]
         mega_totals = {c: mega_totals[c] for c in keep}
-    import ray
-    mega_ref = ray.put(frozenset(mega_totals))
+    from ..partitioning import checked_put
+    mega_ref = checked_put(frozenset(mega_totals), "mega-conversation ids")
 
     def pick(df: pd.DataFrame, _ref=mega_ref) -> pd.DataFrame:
         import ray as _r
@@ -301,8 +301,8 @@ def salt_boundaries_ref(turns_slim, pcfg: PipelineConfig):
                                 pcfg.mega_conv_cap)
     if not bmap:
         return None
-    import ray
-    return ray.put(bmap)
+    from ..partitioning import checked_put
+    return checked_put(bmap, "byte-salt boundary map")
 
 
 def assemble_conversations(turns_ds, pcfg: PipelineConfig = DEFAULT_PIPELINE):

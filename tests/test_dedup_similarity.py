@@ -395,3 +395,57 @@ def test_dedup_pipeline_end_to_end(ray_session, planted_truth):
     strong_twins = {b for (_, b), j in near.items() if j[3] >= 0.9}
     assert strong_twins
     assert len(strong_twins & removed) / len(strong_twins) >= 0.95
+
+
+def test_mixed_hot_bucket_rescue_recovers_both_clusters(ray_session):
+    """Adversarial fixture for the star-pairing assumption: TWO distinct
+    duplicate clusters collide behind ONE band key with > MAX_BUCKET
+    members total.  Star pairing alone links only the cluster holding the
+    min-id representative; the residual-star rescue must recover the
+    second cluster, so ``dedup_pipeline`` keeps exactly the two cluster
+    representatives."""
+    import collections
+
+    import ray.data as rd
+
+    from medical_ocr_pipeline_ray.pipelines.dedup import (
+        MAX_BUCKET, _verify_with_rescue, dedup_pipeline)
+
+    n_a = MAX_BUCKET // 2 + 5          # cluster sizes chosen so the one
+    n_b = MAX_BUCKET // 2 + 5          # shared bucket is hot (> MAX_BUCKET)
+    text_a = "alpha cluster body repeated words " * 8
+    text_b = "completely different beta payload tokens " * 8
+    ids = np.arange(n_a + n_b, dtype=np.int64)
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": ids, "text": [text_a] * n_a + [text_b] * n_b}))
+    keyed = rd.from_pandas(pd.DataFrame({
+        "band_key": np.full(len(ids), 7, dtype=np.int64), "doc_id": ids}))
+
+    pairs = _verify_with_rescue(keyed, "band_key", sf_dir="",
+                                mode="jaccard", k=3, threshold=0.8,
+                                corpus=corpus).to_pandas()
+    assert not pairs.duplicated(["doc_a", "doc_b"]).any()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = collections.defaultdict(set)
+    for d in ids:
+        comp[find(int(d))].add(int(d))
+    assert sorted(sorted(m) for m in comp.values()) == [
+        list(range(n_a)), list(range(n_a, n_a + n_b))]
+
+    kept = dedup_pipeline(
+        "", pairs=rd.from_pandas(pairs[["doc_a", "doc_b"]]),
+        corpus=corpus).to_pandas()
+    assert sorted(kept["doc_id"].astype(int)) == [0, n_a]

@@ -1,5 +1,7 @@
 """Unit tests for the bucketed-exchange sizing rule (partitioning.py)."""
 
+import numpy as np
+
 from medical_ocr_pipeline_ray.partitioning import (TARGET_BUCKET_BYTES,
                                                    buckets_for, cluster_cpus,
                                                    table_bytes)
@@ -41,3 +43,26 @@ def test_table_bytes_reads_real_table():
 
 def test_table_bytes_missing_is_none():
     assert table_bytes(SF_DIR, "no_such_table") is None
+
+
+def test_checked_put_rejects_oversized_broadcast(ray_session):
+    """A broadcast small side past the cap must raise at build time, not
+    silently ship to every worker."""
+    import pytest
+
+    from medical_ocr_pipeline_ray.partitioning import (BROADCAST_CAP_BYTES,
+                                                       checked_put,
+                                                       est_object_bytes)
+
+    small = {"a": 1, "b": 2}
+    ref = checked_put(small, "tiny map")          # under cap: fine
+    import ray
+    assert ray.get(ref) == small
+
+    big = np.zeros(BROADCAST_CAP_BYTES // 8 + 1024, dtype=np.int64)
+    assert est_object_bytes(big) > BROADCAST_CAP_BYTES
+    with pytest.raises(ValueError, match="partitioned"):
+        checked_put(big, "runaway eval set")
+    # estimator covers string collections (the realistic eval-set shape)
+    est = est_object_bytes(frozenset({"alpha", "beta"}))
+    assert est >= len("alpha") + len("beta")
