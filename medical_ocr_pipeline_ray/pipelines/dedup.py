@@ -341,6 +341,25 @@ def _cached_simhash(text: str) -> int:
     return h
 
 
+def _pair_sim(ta: str, tb: str, mode: str, k: int, threshold: float,
+              round_digits: int | None) -> tuple[float, bool]:
+    """One exact pair check (similarity, passes-threshold) — the scalar
+    kernel behind both the batch verifier and the hot-bucket cascade."""
+    if mode == "jaccard":
+        exact = round_digits is None
+        sa = _cached_shingles(ta, k, content_keys=exact)
+        sb = _cached_shingles(tb, k, content_keys=exact)
+        if not sa and not sb:
+            s = 1.0
+        elif not sa or not sb:
+            s = 0.0
+        else:
+            s = len(sa & sb) / len(sa | sb)
+        return s, s >= threshold
+    s = float(hamming64(_cached_simhash(ta), _cached_simhash(tb)))
+    return s, s <= threshold
+
+
 def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
                   threshold: float,
                   round_digits: int | None = 6) -> pd.DataFrame:
@@ -354,20 +373,7 @@ def _verify_pairs(df: pd.DataFrame, mode: str, k: int,
     out_a, out_b, out_s = [], [], []
     for a, b, ta, tb in zip(df["doc_a"], df["doc_b"],
                             df["text_a"], df["text_b"]):
-        if mode == "jaccard":
-            exact = round_digits is None
-            sa = _cached_shingles(ta, k, content_keys=exact)
-            sb = _cached_shingles(tb, k, content_keys=exact)
-            if not sa and not sb:
-                s = 1.0
-            elif not sa or not sb:
-                s = 0.0
-            else:
-                s = len(sa & sb) / len(sa | sb)
-            ok = s >= threshold
-        else:  # hamming on simhash
-            s = float(hamming64(_cached_simhash(ta), _cached_simhash(tb)))
-            ok = s <= threshold
+        s, ok = _pair_sim(ta, tb, mode, k, threshold, round_digits)
         if ok:
             out_a.append(int(a))
             out_b.append(int(b))
@@ -400,124 +406,177 @@ def _verify(cands, sf_dir: str, mode: str, k: int, threshold: float,
                    "round_digits": round_digits})
 
 
+RESCUE_MAX_MEMBERS = 10_000      # per hot bucket: text payload one task holds
+RESCUE_MAX_CLUSTERS = 8          # local residual-star rounds per hot bucket
+
+
+def _rescue_hot_buckets(pending, mode: str, k: int, threshold: float,
+                        round_digits: int | None, corpus,
+                        n_buckets: int | None = None):
+    """Verified pairs for HOT buckets via a local residual-star cascade.
+
+    ``pending`` holds the hot buckets' star pairs (doc_a, doc_b,
+    hot_key); the member set of each hot bucket is reconstructed from
+    them, texts are attached with ONE partitioned join on doc_id, the
+    members are regrouped by bucket key (second slim exchange — hot
+    members are by definition a rare slice of the corpus), and each
+    bucket is decomposed INSIDE one task: verify everyone against the
+    min-id representative, drop the matched cluster, repeat with the
+    min-id of the residual.  Rounds are local iterations — one per
+    distinct duplicate cluster in the bucket — never corpus re-scans,
+    so a genuinely mixed hot bucket (two clusters behind one band key)
+    resolves in 2 rounds at linear pairs per round.
+
+    Bounded on both axes: ``RESCUE_MAX_MEMBERS`` caps the text payload a
+    single task holds (beyond it the smallest-id members are processed
+    and the tail is logged — same information loss as plain star
+    pairing), and ``RESCUE_MAX_CLUSTERS`` caps cascade rounds (a natural
+    collision bucket where nothing matches anything would otherwise
+    degrade to quadratic rounds; past the cap the residual is left
+    unpaired, which is exactly the plain star behaviour)."""
+    import logging
+
+    p = n_buckets or buckets_for()
+
+    def to_members(df: pd.DataFrame) -> pd.DataFrame:
+        m = pd.concat([
+            df[["hot_key", "doc_a"]].rename(columns={"doc_a": "doc_id"}),
+            df[["hot_key", "doc_b"]].rename(columns={"doc_b": "doc_id"}),
+        ]).drop_duplicates()
+        return pd.DataFrame({
+            "bucket": (m["doc_id"].to_numpy() % p).astype(np.int32),
+            "hot_key": m["hot_key"].to_numpy(np.int64),
+            "doc_id": m["doc_id"].to_numpy(np.int64),
+            "text": np.full(len(m), "", dtype=object),
+            "side": np.zeros(len(m), dtype=np.int8)})
+
+    def key_corpus(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "bucket": (df["doc_id"].to_numpy() % p).astype(np.int32),
+            "hot_key": np.full(len(df), -1, dtype=np.int64),
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "text": df["text"].astype(object),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    both = pending.map_batches(to_members, batch_format="pandas").union(
+        corpus.map_batches(key_corpus, batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        corp = g[g["side"] == 1]
+        lookup = dict(zip(corp["doc_id"], corp["text"]))
+        mem = g[g["side"] == 0]
+        texts = mem["doc_id"].map(lookup)
+        keep = texts.notna()
+        mem = mem[keep]
+        return pd.DataFrame({
+            "hot_key": mem["hot_key"].to_numpy(np.int64),
+            "doc_id": mem["doc_id"].to_numpy(np.int64),
+            "text": texts[keep].to_numpy()})
+
+    members = both.groupby("bucket").map_groups(attach,
+                                                batch_format="pandas")
+
+    def cascade(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        if len(g) > RESCUE_MAX_MEMBERS:
+            logging.getLogger(__name__).warning(
+                "hot bucket %s has %d members; cascading the %d "
+                "smallest ids only", g["hot_key"].iloc[0], len(g),
+                RESCUE_MAX_MEMBERS)
+            g = g.iloc[:RESCUE_MAX_MEMBERS]
+        ids = g["doc_id"].to_numpy(np.int64)
+        texts = list(g["text"])
+        residual = list(range(len(ids)))
+        out_a, out_b, out_s = [], [], []
+        for _ in range(RESCUE_MAX_CLUSTERS):
+            if len(residual) < 2:
+                break
+            rep, rest = residual[0], residual[1:]
+            nxt = []
+            for m in rest:
+                s, ok = _pair_sim(texts[rep], texts[m], mode, k,
+                                  threshold, round_digits)
+                if ok:
+                    out_a.append(int(ids[rep]))
+                    out_b.append(int(ids[m]))
+                    out_s.append(round(float(s), round_digits)
+                                 if round_digits is not None else float(s))
+                else:
+                    nxt.append(m)
+            residual = nxt
+        return pd.DataFrame({
+            "doc_a": np.array(out_a, dtype=np.int64),
+            "doc_b": np.array(out_b, dtype=np.int64),
+            "similarity": np.array(out_s, dtype=np.float64)})
+
+    return members.groupby("hot_key").map_groups(cascade,
+                                                 batch_format="pandas")
+
+
+def _dedup_pairs(pairs, n_buckets: int):
+    """Drop duplicate (doc_a, doc_b) rows with a slim bucketed exchange
+    (verify is deterministic, so duplicate rows are identical)."""
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(df["doc_a"].to_numpy() % n_buckets).astype(np.int32))
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_a", "doc_b"], kind="mergesort") \
+            .drop_duplicates(["doc_a", "doc_b"])
+        return g[["doc_a", "doc_b", "similarity"]]
+
+    return pairs.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(drop, batch_format="pandas")
+
+
 def _verify_with_rescue(keyed, key_col: str, sf_dir: str, mode: str,
                         k: int, threshold: float,
-                        max_bucket: int = MAX_BUCKET,
-                        max_rounds: int = 4, corpus=None):
+                        max_bucket: int = MAX_BUCKET, corpus=None):
     """Pair generation + verify with the MIXED-HOT-BUCKET rescue the
     star-pairing assumption needs (``_pairs_from_buckets`` docstring):
-    when a hot bucket's star pairs FAIL verification, its failed members
-    are re-probed with a residual star — min-id of the failed set becomes
-    the next representative — for up to ``max_rounds`` rounds.  Each
-    round strictly shrinks the residual (the round's rep leaves it), so a
-    hot bucket holding C distinct duplicate clusters resolves all of them
-    in C rounds, at linear pairs per round (bounded quadratic overall,
-    ``rounds × bucket_size`` — never the n² of a naive split).
+    hot buckets are excluded from the pairwise verify path and handed to
+    ``_rescue_hot_buckets``, whose per-bucket residual-star cascade
+    recovers every duplicate cluster in the bucket (up to
+    ``RESCUE_MAX_CLUSTERS``), not just the one holding the min-id
+    representative.
 
-    Common-path cost: the single pairing exchange now materializes its
+    Common-path cost: the single pairing exchange materializes its
     (doc_a, doc_b, hot_key) output — ids only, the same slim shape
     ``dedup_clusters`` already materializes as its edge list — so the
     hot split is a filter over cached blocks, not a second exchange;
     with no hot buckets (the overwhelmingly normal case) the streaming
     verify proceeds over the cached candidates untouched."""
-    import logging
-
     cands = _pairs_from_buckets(keyed, key_col, max_bucket=max_bucket,
                                 emit_hot_key=True).materialize()
-    verified = _verify(cands, sf_dir, mode, k, threshold, corpus=corpus)
 
     def only_hot(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["hot_key"] >= 0]
 
-    pending = cands.map_batches(only_hot, batch_format="pandas") \
-        .materialize()
-    if pending.count() == 0:
-        return verified
+    def only_normal(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["hot_key"] < 0, ["doc_a", "doc_b"]]
 
-    p = buckets_for()
+    def count_hot(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int((df["hot_key"] >= 0).sum())]})
 
-    def anti_pairs(pend, verif):
-        """pend (doc_a, doc_b, hot_key) minus verif (doc_a, doc_b) —
-        bucketed on doc_a so neither side is broadcast."""
-        def key_p(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "bucket": (df["doc_a"].to_numpy() % p).astype(np.int32),
-                "doc_a": df["doc_a"].to_numpy(np.int64),
-                "doc_b": df["doc_b"].to_numpy(np.int64),
-                "hot_key": df["hot_key"].to_numpy(np.int64),
-                "side": np.zeros(len(df), dtype=np.int8)})
+    # one cheap sum over the cached candidate blocks decides the plan
+    # shape; the rescue exchanges exist only when hot pairs exist
+    n_hot = cands.map_batches(count_hot, batch_format="pandas").sum("n")
+    if not n_hot:
+        return _verify(cands, sf_dir, mode, k, threshold, corpus=corpus)
+    pending = cands.map_batches(only_hot, batch_format="pandas")
 
-        def key_v(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "bucket": (df["doc_a"].to_numpy() % p).astype(np.int32),
-                "doc_a": df["doc_a"].to_numpy(np.int64),
-                "doc_b": df["doc_b"].to_numpy(np.int64),
-                "hot_key": np.full(len(df), -1, dtype=np.int64),
-                "side": np.ones(len(df), dtype=np.int8)})
-
-        both = pend.map_batches(key_p, batch_format="pandas").union(
-            verif.map_batches(key_v, batch_format="pandas"))
-
-        def drop_verified(g: pd.DataFrame) -> pd.DataFrame:
-            ok = set(zip(g.loc[g["side"] == 1, "doc_a"].astype(int),
-                         g.loc[g["side"] == 1, "doc_b"].astype(int)))
-            c = g[g["side"] == 0]
-            keep = [
-                (int(a), int(b)) not in ok
-                for a, b in zip(c["doc_a"], c["doc_b"])]
-            c = c[np.array(keep, dtype=bool)] if len(c) else c
-            return pd.DataFrame({
-                "doc_a": c["doc_a"].to_numpy(np.int64),
-                "doc_b": c["doc_b"].to_numpy(np.int64),
-                "hot_key": c["hot_key"].to_numpy(np.int64)})
-
-        return both.groupby("bucket").map_groups(drop_verified,
-                                                 batch_format="pandas")
-
-    def residual_star(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_b"].to_numpy(np.int64))
-        if len(ids) < 2:
-            return pd.DataFrame({
-                "doc_a": pd.Series([], dtype=np.int64),
-                "doc_b": pd.Series([], dtype=np.int64),
-                "hot_key": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame({
-            "doc_a": np.full(len(ids) - 1, ids[0], dtype=np.int64),
-            "doc_b": ids[1:],
-            "hot_key": np.full(len(ids) - 1,
-                               np.int64(g["hot_key"].iloc[0]),
-                               dtype=np.int64)})
-
-    verified = verified.materialize()   # reused: anti join + output union
-    outputs = [verified]
-    union_all = verified
-    for _ in range(max_rounds):
-        # members whose star pair verified NOWHERE yet (any band) need
-        # the residual probe; anti join vs the cumulative verified set
-        failed = anti_pairs(pending, union_all).materialize()
-        if failed.count() == 0:
-            break
-        pending = failed.groupby("hot_key").map_groups(
-            residual_star, batch_format="pandas")
-        # a residual pair may already be verified via another band —
-        # skip it so the output never carries duplicate pair rows
-        pending = anti_pairs(pending, union_all).materialize()
-        if pending.count() == 0:
-            break
-        new_v = _verify(pending, sf_dir, mode, k, threshold,
-                        corpus=corpus).materialize()
-        outputs.append(new_v)
-        union_all = union_all.union(new_v)
-    else:
-        logging.getLogger(__name__).warning(
-            "hot-bucket rescue still had unresolved members after %d "
-            "rounds; remaining members matched none of the tried "
-            "representatives", max_rounds)
-
-    out = outputs[0]
-    for extra in outputs[1:]:
-        out = out.union(extra)
-    return out
+    p = buckets_for(table_bytes(sf_dir, "documents")) if corpus is None \
+        else buckets_for()
+    verified = _verify(cands.map_batches(only_normal,
+                                         batch_format="pandas"),
+                       sf_dir, mode, k, threshold, corpus=corpus)
+    rescued = _rescue_hot_buckets(
+        pending, mode, k, threshold, 6,
+        augmented_docs(sf_dir) if corpus is None else corpus,
+        n_buckets=p)
+    # a pair can verify through both a normal bucket and a hot-bucket
+    # cascade — one slim exchange collapses the duplicates
+    return _dedup_pairs(verified.union(rescued), p)
 
 
 # ---------------------------------------------------------------------------
