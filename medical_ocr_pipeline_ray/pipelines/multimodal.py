@@ -1,16 +1,23 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal column plumbing: binary payloads + typed metadata, with a
+REAL in-sandbox pixel path.
 
-Real image/audio decode libraries are not available in this environment,
-so the DECODE KERNEL IS STUBBED (clearly marked below) — but the Ray-side
-plumbing is real and tested: Arrow ``binary`` payload column + metadata
-struct, an actor-pool ``map_batches`` stage with per-actor init, small
-batches sized for wide binary rows, and a deterministic feature extractor
-(byte histogram) standing in for a model forward pass.
+Image payloads in the synth corpus are genuine binary PPM (P6) images, and
+the decode stage carries a dependency-free P6 decoder — header parse, RGB
+reshape, ITU-R 601-2 grayscale — so ``decode`` runs an actual pixel
+histogram in this environment.  Compressed formats (PNG/JPEG) route
+through PIL when the environment has it; without PIL a non-PPM payload
+under strict ``decode=True`` raises the clearly-marked
+``NotImplementedError`` stub, and under ``decode="auto"`` (what the
+catalogue query uses) falls back to the byte histogram so mixed
+image/audio corpora stream through one stage.
 
-This mirrors how the reference ships page images to OCR engines as opaque
-PNG bytes over a service boundary (multipart upload in ``mcp_ocr``,
-notebooks/01_blocks_all_mcp_compare.ipynb:~80) — here the payload is an
-Arrow binary column flowing through the object store instead.
+The Ray-side plumbing is the point at scale: Arrow ``binary`` payload
+column + typed metadata, an actor-pool ``map_batches`` stage with
+per-actor init, and small batches sized so wide binary rows fit a worker
+heap.  This mirrors how the reference ships page images to OCR engines as
+opaque PNG bytes over a service boundary (multipart upload in ``mcp_ocr``,
+notebooks/01_blocks_all_mcp_compare.ipynb:~80) — here the payload flows
+through the object store instead.
 """
 
 from __future__ import annotations
@@ -22,6 +29,52 @@ import pyarrow as pa
 
 import ray.data as rd
 
+
+def _encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6) bytes."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Dependency-free binary-PPM (P6) decoder → (h, w, 3) uint8.
+
+    Handles the standard header grammar (whitespace-separated tokens,
+    ``#`` comments) and requires maxval 255.  This is the genuine pixel
+    path that runs in environments without PIL."""
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header: magic, width, height, maxval, then ONE
+    # whitespace byte before the raster
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(raw[start:pos])
+    pos += 1                                  # single post-maxval byte
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    body = np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos)
+    return body.reshape(h, w, 3)
+
+
+def ppm_grayscale(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R 601-2 luma (PIL's ``convert("L")`` formula, truncating):
+    L = (299 R + 587 G + 114 B) // 1000."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
 MEDIA_SCHEMA = pa.schema([
     ("doc_id", pa.int64()),
     ("payload", pa.binary()),
@@ -31,9 +84,20 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def _synth_rgb(did: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 test image: diagonal gradients offset
+    per doc — vectorized, no external data, distinct across docs."""
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    base = (3 * x + 7 * y + did) % 256
+    return np.stack([base, (2 * base + 13) % 256,
+                     (5 * base + did) % 256], axis=-1).astype(np.uint8)
+
+
 def synth_media(sf_dir: str):
-    """Deterministic pseudo-media corpus: each document's text rendered to
-    an opaque byte payload with typed metadata (no external data)."""
+    """Deterministic media corpus with typed metadata (no external data):
+    image docs carry a GENUINE binary-PPM payload (decodable in-sandbox),
+    audio docs an opaque byte stream derived from the text."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
@@ -42,12 +106,17 @@ def synth_media(sf_dir: str):
         texts = batch["text"].to_pylist()
         payloads, widths, heights, kinds = [], [], [], []
         for did, t in zip(ids, texts):
-            seed = hashlib.md5(f"{did}".encode()).digest()
-            body = (seed + t.encode("utf-8")) * 4   # opaque bytes
-            payloads.append(body)
-            widths.append(64 + (did % 8) * 32)
-            heights.append(64 + (did % 5) * 32)
-            kinds.append("image/x-synth" if did % 3 else "audio/x-synth")
+            w = 64 + (did % 8) * 32
+            h = 64 + (did % 5) * 32
+            if did % 3:
+                payloads.append(_encode_ppm(_synth_rgb(did, w, h)))
+                kinds.append("image/x-portable-pixmap")
+            else:
+                seed = hashlib.md5(f"{did}".encode()).digest()
+                payloads.append((seed + t.encode("utf-8")) * 4)
+                kinds.append("audio/x-synth")
+            widths.append(w)
+            heights.append(h)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
@@ -60,20 +129,27 @@ def synth_media(sf_dir: str):
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage with an OPTIONAL-IMPORT real
-    kernel.
+    """Actor-pool decode/feature stage with a REAL in-sandbox kernel.
 
-    ``__init__`` is where the decoder loads once per actor: with
-    ``decode=True`` it imports PIL if the environment has it (the real
-    kernel — decode image bytes, histogram the PIXELS) and otherwise
-    leaves the seam as a clearly-marked ``NotImplementedError`` stub.
-    The default path computes a deterministic 16-bin BYTE histogram +
-    length, exercising the same batch plumbing and emitting the SAME
-    schema as the real kernel, so swapping stub ↔ real changes no
-    downstream stage.
+    ``__init__`` is where per-actor state loads once (the optional PIL
+    import for compressed formats).  ``decode`` policy per payload:
+
+    - ``False``  — 16-bin BYTE histogram (plumbing baseline; same
+      output schema as the pixel path, so swapping changes no
+      downstream stage).
+    - ``True``   — STRICT pixel decode: binary PPM (P6) through the
+      dependency-free decoder, anything else through PIL; without PIL a
+      non-PPM payload raises the clearly-marked ``NotImplementedError``
+      (the seam for environments that lack both).
+    - ``"auto"`` — pixel decode where possible (PPM always, PIL formats
+      when PIL imports), BYTE histogram otherwise — the policy for
+      mixed image/audio corpora streaming through one stage.
+
+    Pixel histograms are over the ITU-R 601-2 grayscale (identical
+    formula to PIL's ``convert("L")``, so builtin and PIL paths agree).
     """
 
-    def __init__(self, decode: bool = False):
+    def __init__(self, decode: bool | str = False):
         self.decode = decode
         self.bins = np.arange(0, 257, 16)
         self._pil = None
@@ -88,20 +164,32 @@ class MediaDecoder:
         hist, _ = np.histogram(values, bins=self.bins)
         return hist.astype(np.int64)
 
+    def _pixels(self, raw: bytes) -> np.ndarray | None:
+        """Grayscale pixel values, or None when this payload cannot be
+        decoded here (then: fall back or raise per policy)."""
+        if raw.startswith(b"P6"):
+            return ppm_grayscale(decode_ppm(raw)).ravel()
+        if self._pil is not None:
+            import io
+            try:
+                img = self._pil.open(io.BytesIO(raw)).convert("L")
+            except Exception:
+                return None
+            return np.asarray(img, dtype=np.uint8).ravel()
+        return None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decode and self._pil is None:
-            raise NotImplementedError(
-                "real media decode requires PIL — not available in this "
-                "environment; the kernel below runs unchanged when it is")
         ids = batch["doc_id"].to_pylist()
         feats, sizes = [], []
         for buf in batch["payload"]:
             raw = buf.as_py()
-            if self.decode:
-                import io
-                img = self._pil.open(io.BytesIO(raw)).convert("L")
-                vals = np.asarray(img, dtype=np.uint8).ravel()
-            else:
+            vals = self._pixels(raw) if self.decode else None
+            if vals is None:
+                if self.decode is True:
+                    raise NotImplementedError(
+                        "payload is not binary PPM and PIL is "
+                        "unavailable — compressed-format decode needs "
+                        "PIL; the kernel runs unchanged when it imports")
                 vals = np.frombuffer(raw, dtype=np.uint8)
             feats.append(self._features(vals))
             sizes.append(len(raw))
@@ -114,22 +202,26 @@ class MediaDecoder:
 
 
 def multimodal_features(sf_dir: str):
-    """Binary payloads → actor-pool feature extraction.  Small batches +
-    bounded pool: wide binary rows must not blow a worker's heap."""
+    """Binary payloads → actor-pool feature extraction: GENUINE pixel
+    histograms for the image payloads (in-sandbox PPM decode), byte
+    histograms for the opaque audio payloads.  Small batches + bounded
+    pool: wide binary rows must not blow a worker's heap."""
     media = synth_media(sf_dir)
     return media.map_batches(
         MediaDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), fn_constructor_kwargs={"decode": False})
+        concurrency=(1, 4), fn_constructor_kwargs={"decode": "auto"})
 
 
 class MediaResizer:
     """Actor-pool resize stage.  The GEOMETRY is real — clamp the long
     side to ``max_side`` preserving aspect ratio (the reference's
     ``clamp_long_side``, notebooks/01_extract_blocks.ipynb:~88, fast=1800
-    / heavy=3000).  ``resample=True`` is the optional-import pixel
-    kernel seam: uses PIL when importable, raises the clearly-marked
-    stub error otherwise (same output schema either way — the resample
-    only validates that decoded pixels match the computed geometry)."""
+    / heavy=3000).  ``resample=True`` additionally RESIZES THE PIXELS:
+    binary-PPM payloads go through the dependency-free decoder + a
+    nearest-neighbor kernel (runs in-sandbox) and come back as a resized
+    PPM in a ``resampled`` column; other formats use PIL when
+    importable, and raise the clearly-marked stub error when neither
+    path can decode."""
 
     def __init__(self, max_side: int = 1800, resample: bool = False):
         self.max_side = max_side
@@ -142,25 +234,56 @@ class MediaResizer:
             except ImportError:
                 self._pil = None
 
+    def _resize_rgb(self, rgb: np.ndarray, ow: int, oh: int) -> np.ndarray:
+        """Nearest-neighbor resample (PIL's NEAREST pixel mapping:
+        src = floor(dst * in/out))."""
+        h, w, _ = rgb.shape
+        xs = (np.arange(ow, dtype=np.float64) * (w / ow)).astype(np.int64)
+        ys = (np.arange(oh, dtype=np.float64) * (h / oh)).astype(np.int64)
+        return rgb[np.minimum(ys, h - 1)[:, None],
+                   np.minimum(xs, w - 1)[None, :]]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.resample and self._pil is None:
-            raise NotImplementedError(
-                "pixel resampling requires PIL — not available in this "
-                "environment; the kernel runs unchanged when it is")
         w = np.asarray(batch["width"].to_numpy(zero_copy_only=False),
                        dtype=np.float64)
         h = np.asarray(batch["height"].to_numpy(zero_copy_only=False),
                        dtype=np.float64)
         long_side = np.maximum(w, h)
         scale = np.minimum(1.0, self.max_side / np.maximum(long_side, 1.0))
-        return pa.table({
+        out_w = np.rint(w * scale).astype(np.int32)
+        out_h = np.rint(h * scale).astype(np.int32)
+        out = {
             "doc_id": batch["doc_id"],
             "width": batch["width"],
             "height": batch["height"],
-            "out_w": pa.array(np.rint(w * scale).astype(np.int32)),
-            "out_h": pa.array(np.rint(h * scale).astype(np.int32)),
+            "out_w": pa.array(out_w),
+            "out_h": pa.array(out_h),
             "scale": pa.array(np.round(scale, 6)),
-        })
+        }
+        if self.resample:
+            resized = []
+            for i, buf in enumerate(batch["payload"]):
+                raw = buf.as_py()
+                ow, oh = int(out_w[i]), int(out_h[i])
+                if raw.startswith(b"P6"):
+                    rgb = decode_ppm(raw)
+                    resized.append(_encode_ppm(
+                        np.ascontiguousarray(
+                            self._resize_rgb(rgb, ow, oh))))
+                elif self._pil is not None:
+                    import io
+                    img = self._pil.open(io.BytesIO(raw)) \
+                        .resize((ow, oh), self._pil.Resampling.NEAREST) \
+                        .convert("RGB")
+                    resized.append(_encode_ppm(
+                        np.asarray(img, dtype=np.uint8)))
+                else:
+                    raise NotImplementedError(
+                        "payload is not binary PPM and PIL is "
+                        "unavailable — compressed-format resample needs "
+                        "PIL; the kernel runs unchanged when it imports")
+            out["resampled"] = pa.array(resized, pa.binary())
+        return pa.table(out)
 
 
 def multimodal_resize(sf_dir: str, max_side: int = 96):

@@ -188,14 +188,20 @@ def test_multimodal_resize_geometry(ray_session):
     ar_in = df["width"] / df["height"]
     ar_out = df["out_w"] / df["out_h"]
     assert (abs(ar_in - ar_out) / ar_in < 0.05).all()
-    # the stubbed pixel kernel is clearly gated
-    import pyarrow as pa
-    import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        MediaResizer(resample=True)(pa.table(
-            {"doc_id": pa.array([1], pa.int64()),
-             "width": pa.array([10], pa.int32()),
-             "height": pa.array([10], pa.int32())}))
+    # compressed-format resample without PIL is clearly gated (binary
+    # PPM payloads resample in-sandbox — covered by the hand-computed
+    # nearest-neighbor test below)
+    try:
+        from PIL import Image      # noqa: F401
+    except ImportError:
+        import pyarrow as pa
+        import pytest as _pt
+        with _pt.raises(NotImplementedError):
+            MediaResizer(resample=True)(pa.table(
+                {"doc_id": pa.array([1], pa.int64()),
+                 "payload": pa.array([b"\x89PNGxxxx"], pa.binary()),
+                 "width": pa.array([10], pa.int32()),
+                 "height": pa.array([10], pa.int32())}))
 
 
 def test_multimodal_frame_sample(ray_session):
@@ -449,3 +455,87 @@ def test_mixed_hot_bucket_rescue_recovers_both_clusters(ray_session):
         "", pairs=rd.from_pandas(pairs[["doc_a", "doc_b"]]),
         corpus=corpus).to_pandas()
     assert sorted(kept["doc_id"].astype(int)) == [0, n_a]
+
+
+def test_ppm_pixel_path_hand_computed(ray_session):
+    """The dependency-free P6 decoder + grayscale + histogram against a
+    hand-computed 2x2 image — the REAL pixel path running in-sandbox."""
+    import pyarrow as pa
+
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        MediaDecoder, decode_ppm, ppm_grayscale)
+
+    # 2x2: red, green / blue, white — with a header comment
+    raw = b"P6\n# test image\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  255, 255, 255])
+    rgb = decode_ppm(raw)
+    assert rgb.shape == (2, 2, 3)
+    assert rgb[0, 0].tolist() == [255, 0, 0]
+    assert rgb[1, 1].tolist() == [255, 255, 255]
+    # ITU-R 601-2 luma, truncating: R=76, G=149, B=29, W=255
+    gray = ppm_grayscale(rgb)
+    assert gray.ravel().tolist() == [76, 149, 29, 255]
+
+    dec = MediaDecoder(decode=True)
+    out = dec(pa.table({"doc_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([raw], pa.binary())}))
+    hist = out["byte_hist"][0].as_py()
+    expected = [0] * 16
+    expected[76 // 16] = 1      # 76  -> bin 4
+    expected[149 // 16] = 1     # 149 -> bin 9
+    expected[29 // 16] = 1      # 29  -> bin 1
+    expected[15] = 1            # 255 -> top bin
+    assert hist == expected
+    assert out["n_bytes"][0].as_py() == len(raw)
+
+    # strict decode on a non-PPM payload without PIL: the declared stub
+    try:
+        from PIL import Image      # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            dec(pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([b"RIFFxxxx"], pa.binary())}))
+    # "auto" policy: same opaque payload falls back to the byte histogram
+    auto = MediaDecoder(decode="auto")
+    out2 = auto(pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "payload": pa.array([b"RIFFxxxx"], pa.binary())}))
+    assert sum(out2["byte_hist"][0].as_py()) == 8
+
+
+def test_ppm_resample_nearest_hand_computed(ray_session):
+    """Nearest-neighbor pixel resample of a 4x4 PPM down to 2x2 —
+    src index = floor(dst * in/out) picks rows/cols {0, 2}."""
+    import pyarrow as pa
+
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        MediaResizer, _encode_ppm, decode_ppm)
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    raw = _encode_ppm(rgb)
+    rs = MediaResizer(max_side=2, resample=True)
+    out = rs(pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "payload": pa.array([raw], pa.binary()),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32())}))
+    assert out["out_w"][0].as_py() == 2 and out["out_h"][0].as_py() == 2
+    small = decode_ppm(out["resampled"][0].as_py())
+    assert small.shape == (2, 2, 3)
+    np.testing.assert_array_equal(small, rgb[[0, 2]][:, [0, 2]])
+
+
+def test_synth_media_images_are_real_ppm(ray_session):
+    """Image payloads in the synth corpus decode to their declared
+    metadata geometry — the decode pipeline runs genuine pixels."""
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        decode_ppm, synth_media)
+    m = synth_media(SF_DIR).to_pandas()
+    imgs = m[m["media_type"] == "image/x-portable-pixmap"].head(5)
+    assert len(imgs) == 5
+    for _, row in imgs.iterrows():
+        rgb = decode_ppm(row["payload"])
+        assert rgb.shape == (row["height"], row["width"], 3)
