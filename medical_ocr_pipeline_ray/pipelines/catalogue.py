@@ -100,7 +100,6 @@ _BOARD: list[str] = [
     "annotate_doc_entities",
     "doc_decontaminate",
     "doc_repetition_stats",
-    "doc_length_histogram",
     "doc_heavy_hitters",
     # heavy relational shapes
     "q5_region_revenue",
@@ -111,7 +110,6 @@ _BOARD: list[str] = [
     "lineitem_corr",
     "part_pairs_topk",
     "part_fuzzy_match_counts",
-    "part_mode_brand",
     "part_revenue_share",
     "parts_shipped_both_years",
     "parts_shipped_1996_only",
@@ -119,7 +117,6 @@ _BOARD: list[str] = [
     "orders_above_customer_avg",
     "orders_percent_rank",
     "orders_running_total",
-    "orders_month_over_month",
     "supplier_topk_per_nation",
     # window / analytics layer over events
     "events_outliers",
@@ -127,10 +124,19 @@ _BOARD: list[str] = [
     "events_gap_stats",
     "events_funnel",
     "events_lag_delta",
-    "events_pivot_daily",
     "events_rolling_avg",
     "events_daily_active_users",
-    "customer_ntile_by_nation",
+    # turn-side operators newly oracled in round 4 (exported turns view
+    # + SQL recomputation; see pipelines/turn_oracle.py) — their green
+    # rows double as driver-visible extraction-parity checks
+    "annotate_turn_entities",
+    "segment_turns",
+    "engine_block_stats",
+    "best_variant_extraction",
+    "approx_distinct_shingles",
+    # bumped to the round-5 rotation to make room for the five above:
+    # events_pivot_daily, customer_ntile_by_nation, doc_length_histogram,
+    # part_mode_brand, orders_month_over_month (plus all r1-r3 greens)
 ]
 
 
@@ -294,7 +300,19 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the turn-side oracles read the exported turns view via
+    # read_parquet('<abs path>'); materialize it here (idempotent,
+    # ~100 turns via the sequential python oracle) so the SQL works
+    # regardless of whether the driver runs it before or after the Ray
+    # queries
+    from .turn_oracle import ensure_export
+    ensure_export()
     return {
+        "annotate_turn_entities": segments._annotate_sql(),
+        "segment_turns": segments._segment_sql(),
+        "engine_block_stats": qa.engine_block_stats_sql(),
+        "best_variant_extraction": qa.best_variant_sql(),
+        "approx_distinct_shingles": textops.APPROX_DISTINCT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "filter_project_revenue": relational.FILTER_PROJECT_SQL,
         "join_orders_customer_segment": relational.JOIN_SEGMENT_SQL,

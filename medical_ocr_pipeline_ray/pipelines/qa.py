@@ -234,10 +234,14 @@ def engine_block_stats(sf_dir: str):
     turn's payload and aggregates per block ``source`` tag with exact
     integer partials (count, sum, sum-of-squares, conf micros) so the
     result is bit-deterministic; the shuffle moves one row per engine per
-    batch."""
+    batch.  ORACLED over the exported per-block view (pinned tier — see
+    turn_oracle.py): the SQL re-aggregates the same exact integer
+    partials and mirrors the closed-form float finish verbatim."""
     from ..functions.pdfblocks import is_pdf_payload, parse_payload
+    from .turn_oracle import ORACLE_TIER, ensure_export
 
-    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+    ensure_export()
+    ds = read_transcripts(ORACLE_TIER)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         agg: dict[str, list[int]] = {}
@@ -380,14 +384,19 @@ def best_variant_extraction(sf_dir: str):
     prefect_pipeline.py:113-127): every tool-payload turn is extracted
     under the default (strict) and a lenient (min_conf 0.30, fixed
     tolerances) configuration inside ONE batch pass; the winner is chosen
-    deterministically by (blocks_kept, content_chars, variant name)."""
+    deterministically by (blocks_kept, content_chars, variant name).
+    ORACLED over the exported per-variant view (pinned tier): the SQL
+    re-runs the argmax as a QUALIFY window with the identical
+    tie-break."""
     from ..config import DEFAULT_EXTRACT, ExtractConfig
     from ..functions.pdfblocks import extract_pdf_payload, is_pdf_payload
+    from .turn_oracle import ORACLE_TIER, ensure_export
 
+    ensure_export()
     lenient = ExtractConfig(min_conf=0.30, adaptive_layout=False)
     variants = (("strict", DEFAULT_EXTRACT), ("lenient", lenient))
 
-    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+    ds = read_transcripts(ORACLE_TIER)
 
     def choose(df: pd.DataFrame) -> pd.DataFrame:
         convs, turns, names, kept_l, chars_l = [], [], [], [], []
@@ -499,3 +508,47 @@ def payload_coverage_grid(sf_dir: str, grid: int = 8):
             "coverage": cells})
 
     return ds.map_batches(grids, batch_format="pandas")
+
+
+# Exact oracle for ``engine_block_stats``: aggregate the exported
+# per-block rows with the SAME integer partials and the IDENTICAL
+# closed-form float expressions as the Ray finish step (single IEEE
+# divisions / multiplies over exact ints are bit-equal across engines).
+def engine_block_stats_sql() -> str:
+    from .turn_oracle import blocks_parquet
+    return f"""
+WITH agg AS (
+  SELECT source,
+         count(*) AS n_blocks,
+         sum(n_chars) AS chars_sum,
+         sum(n_chars * n_chars) AS chars_sumsq,
+         sum(conf_u) AS conf_u
+  FROM read_parquet('{blocks_parquet()}') GROUP BY source),
+f AS (
+  SELECT source, n_blocks,
+         CAST(chars_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean_chars,
+         CAST(chars_sumsq AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS msq,
+         (CAST(conf_u AS DOUBLE) / CAST(n_blocks AS DOUBLE)) / 1000000.0
+           AS mean_conf
+  FROM agg)
+SELECT source, n_blocks, mean_chars,
+       sqrt(greatest(msq - mean_chars * mean_chars, 0.0)) AS std_chars,
+       mean_conf
+FROM f
+"""
+
+
+# Exact oracle for ``best_variant_extraction``: per-turn argmax over the
+# exported variant stats with the Python tuple tie-break
+# (blocks_kept, content_chars, variant) — 'strict' > 'lenient'.
+def best_variant_sql() -> str:
+    from .turn_oracle import variants_parquet
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, variant,
+       CAST(blocks_kept AS INT) AS blocks_kept,
+       CAST(content_chars AS INT) AS content_chars
+FROM read_parquet('{variants_parquet()}')
+QUALIFY row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY blocks_kept DESC, content_chars DESC, variant DESC) = 1
+"""

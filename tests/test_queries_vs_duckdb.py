@@ -93,6 +93,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "lineitem_regression",
     "corpus_build_pipeline",
     "parts_shipped_1996_only",
+    "annotate_turn_entities", "segment_turns", "engine_block_stats",
+    "best_variant_extraction", "approx_distinct_shingles",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
