@@ -101,36 +101,73 @@ def doc_segment_dedup(sf_dir: str, n_buckets: int | None = None):
 
     segs = _docs(sf_dir).map_batches(explode, batch_format="pandas")
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["seg", "doc_id", "seg_idx"], kind="mergesort")
-        keep = ~g["seg"].duplicated()
-        seg = g["seg"].where(keep, "")      # drop dup text before exchange 2
-        return pd.DataFrame({
-            "db": (g["doc_id"].to_numpy() % n_b).astype(np.int32),
-            "doc_id": g["doc_id"].to_numpy(),
-            "seg_idx": g["seg_idx"].to_numpy(),
-            "seg": seg.to_numpy(),
-            "keep": keep.to_numpy()})
+    # ARROW-NATIVE folds (round-3 verdict #6): the segment strings ride
+    # both exchanges, so the folds keep them as Arrow arrays — sort /
+    # adjacent-equality / if_else all run in pyarrow.compute, and only
+    # the SURVIVING segments are materialized as Python strings (for the
+    # md5), never the whole exchange.
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    marked = segs.groupby("sb").map_groups(mark, batch_format="pandas")
+    def mark(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        n = len(g)
+        # hash-encode the segment strings once (O(n), no string sort) —
+        # first-occurrence-by-(doc_id, seg_idx) then reduces to an
+        # integer lexsort over the codes
+        enc = pc.dictionary_encode(g["seg"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy() if n else np.array([], np.int32)
+        doc = g["doc_id"].to_numpy()
+        seg_idx = g["seg_idx"].to_numpy()
+        order = np.lexsort((seg_idx, doc, codes))
+        codes_s = codes[order]
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = codes_s[1:] != codes_s[:-1]
+        keep = np.empty(n, dtype=bool)
+        keep[order] = first
+        return pa.table({
+            "db": pa.array((doc % n_b).astype(np.int32)),
+            "doc_id": g["doc_id"],
+            "seg_idx": g["seg_idx"],
+            "seg": pc.if_else(pa.array(keep), g["seg"],
+                              pa.scalar("", pa.string())),
+            "keep": pa.array(keep)})
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "seg_idx"], kind="mergesort")
-        rows = []
-        for did, d in g.groupby("doc_id", sort=False):
-            kept = d.loc[d["keep"], "seg"]
-            rows.append({
-                "doc_id": int(did),
-                "n_segments": len(d),
-                "n_kept": int(d["keep"].sum()),
-                "clean_md5": hashlib.md5(
-                    " ".join(kept).encode("utf-8")).hexdigest()})
-        out = pd.DataFrame(rows, columns=["doc_id", "n_segments",
-                                          "n_kept", "clean_md5"])
-        return out.astype({"doc_id": np.int64, "n_segments": np.int64,
-                           "n_kept": np.int64})
+    marked = segs.groupby("sb").map_groups(mark, batch_format="pyarrow")
 
-    return marked.groupby("db").map_groups(fold, batch_format="pandas")
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        order = pc.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"),
+                          ("seg_idx", "ascending")])
+        g = g.take(order)
+        doc = g["doc_id"].to_numpy()
+        keepm = g["keep"].to_numpy(zero_copy_only=False)
+        # only kept segments become Python strings (dropped are "")
+        seg_py = g["seg"].to_pylist()
+        bounds = np.flatnonzero(np.diff(doc)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(doc)]])
+        ids, n_seg, n_kept, md5s = [], [], [], []
+        for s, e in zip(starts, ends):
+            if s == e:
+                continue
+            kept = [seg_py[i] for i in range(s, e) if keepm[i]]
+            ids.append(int(doc[s]))
+            n_seg.append(e - s)
+            n_kept.append(len(kept))
+            md5s.append(hashlib.md5(
+                " ".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+            "n_segments": pa.array(np.array(n_seg, dtype=np.int64)),
+            "n_kept": pa.array(np.array(n_kept, dtype=np.int64)),
+            "clean_md5": pa.array(md5s, pa.string())})
+
+    return marked.groupby("db").map_groups(fold, batch_format="pyarrow")
 
 
 DOC_SEGMENT_DEDUP_SQL = f"""
@@ -604,32 +641,53 @@ def doc_dup_spans(sf_dir: str, n_buckets: int | None = None):
 
     grams = _docs(sf_dir).map_batches(explode, batch_format="pandas")
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.groupby("gram", sort=False)["gram"].transform("size") \
-            .to_numpy(np.int64)
-        dup = (c >= 2).astype(np.int64)
-        part = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                             "n": np.ones(len(g), dtype=np.int64),
-                             "n_dup": dup}) \
-            .groupby("doc_id", as_index=False).sum()
-        return pd.DataFrame({
-            "db": (part["doc_id"].to_numpy() % n_b).astype(np.int32),
-            "doc_id": part["doc_id"].to_numpy(),
-            "n": part["n"].to_numpy(np.int64),
-            "n_dup": part["n_dup"].to_numpy(np.int64)})
+    # ARROW-NATIVE folds (round-3 verdict #6): the gram strings ride
+    # exchange 1, so the corpus-count mark runs as an Arrow sort +
+    # adjacent-equality run-length — no gram ever becomes a Python
+    # object or pandas object cell; the per-doc partials are pure
+    # numpy bincounts.
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    partials = grams.groupby("gb").map_groups(mark, batch_format="pandas")
+    def mark(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        n = len(g)
+        # hash-encode the grams once (O(n), no string sort): a gram's
+        # bucket-local occurrence count IS its corpus count
+        enc = pc.dictionary_encode(g["gram"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy() if n else np.array([], np.int32)
+        counts = np.bincount(codes) if n else np.array([], dtype=np.int64)
+        dup = (counts[codes] >= 2).astype(np.float64) if n \
+            else np.array([], dtype=np.float64)
+        uids, inv = np.unique(g["doc_id"].to_numpy(), return_inverse=True)
+        nn = np.bincount(inv).astype(np.int64) if n \
+            else np.array([], dtype=np.int64)
+        nd = np.bincount(inv, weights=dup).astype(np.int64) if n \
+            else np.array([], dtype=np.int64)
+        return pa.table({
+            "db": pa.array((uids % n_b).astype(np.int32)),
+            "doc_id": pa.array(uids.astype(np.int64)),
+            "n": pa.array(nn),
+            "n_dup": pa.array(nd)})
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("doc_id", as_index=False)[["n", "n_dup"]].sum()
-        return pd.DataFrame({
-            "doc_id": agg["doc_id"].to_numpy(np.int64),
-            "n_grams": agg["n"].to_numpy(np.int64),
-            "n_dup_grams": agg["n_dup"].to_numpy(np.int64),
-            "dup_frac": agg["n_dup"].to_numpy(np.float64)
-            / agg["n"].to_numpy(np.float64)})
+    partials = grams.groupby("gb").map_groups(mark, batch_format="pyarrow")
 
-    return partials.groupby("db").map_groups(fold, batch_format="pandas")
+    def fold(g: pa.Table) -> pa.Table:
+        doc = g["doc_id"].to_numpy()
+        uids, inv = np.unique(doc, return_inverse=True)
+        nn = np.bincount(inv, weights=g["n"].to_numpy()).astype(np.int64)
+        nd = np.bincount(inv,
+                         weights=g["n_dup"].to_numpy()).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(uids.astype(np.int64)),
+            "n_grams": pa.array(nn),
+            "n_dup_grams": pa.array(nd),
+            "dup_frac": pa.array(nd.astype(np.float64)
+                                 / nn.astype(np.float64))})
+
+    return partials.groupby("db").map_groups(fold, batch_format="pyarrow")
 
 
 DOC_DUP_SPANS_SQL = f"""

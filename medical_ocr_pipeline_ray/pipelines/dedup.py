@@ -227,10 +227,20 @@ def _attach_text(cands, corpus, which: str, n_buckets: int | None = None):
     """Partitioned hash join: attach the corpus text for ONE side of each
     candidate pair.  Both inputs are hash-bucketed on the id (pairs on
     ``doc_<which> % P``, corpus on ``doc_id % P``) and matched inside
-    ``map_groups`` with a bucket-local dict — the scale-safe replacement
-    for the round-1 whole-corpus ``ray.put`` broadcast.  Pairs whose id is
-    absent from the corpus are dropped (same semantics as the old
-    verifier's membership check)."""
+    ``map_groups`` — the scale-safe replacement for the round-1
+    whole-corpus ``ray.put`` broadcast.  Pairs whose id is absent from
+    the corpus are dropped (same semantics as the old verifier's
+    membership check).
+
+    ARROW-NATIVE fold (round-3 verdict #6): the corpus text rides this
+    exchange, and the former pandas fold paid Arrow→object-dtype string
+    conversion both ways on every batch.  Keys and filters run on
+    zero-copy int64 numpy views; text columns stay Arrow end to end
+    (``pc.index_in`` + ``pc.take`` do the lookup), so no document string
+    is ever materialized as a Python object here."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     n_buckets = n_buckets or buckets_for()
     id_col = "doc_a" if which == "a" else "doc_b"
     out_col = f"text_{which}"
@@ -240,51 +250,72 @@ def _attach_text(cands, corpus, which: str, n_buckets: int | None = None):
     # for free instead of in a separate shuffle round
     dedupe_pairs = which == "a"
 
-    def key_cand(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "bucket": (df[id_col].astype(np.int64) % n_buckets)
-            .astype(np.int32),
-            "jkey": df[id_col].astype(np.int64),
-            "doc_a": df["doc_a"].astype(np.int64),
-            "doc_b": df["doc_b"].astype(np.int64),
-            "carry": (df[carry] if carry else
-                      np.full(len(df), "", dtype=object)),
-            "jtext": np.full(len(df), "", dtype=object),
-            "side": np.zeros(len(df), dtype=np.int8)})
+    def key_cand(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.int64()).combine_chunks().to_numpy()
+        n = len(t)
+        return pa.table({
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+            "jkey": pa.array(ids),
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "carry": (pc.cast(t[carry], pa.string()) if carry
+                      else pa.nulls(n, pa.string())),
+            "jtext": pa.nulls(n, pa.string()),
+            "side": pa.array(np.zeros(n, dtype=np.int8))})
 
-    def key_corpus(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "bucket": (df["doc_id"].astype(np.int64) % n_buckets)
-            .astype(np.int32),
-            "jkey": df["doc_id"].astype(np.int64),
-            "doc_a": np.full(len(df), -1, dtype=np.int64),
-            "doc_b": np.full(len(df), -1, dtype=np.int64),
-            "carry": np.full(len(df), "", dtype=object),
-            "jtext": df["text"].astype(object),
-            "side": np.ones(len(df), dtype=np.int8)})
+    def key_corpus(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).combine_chunks().to_numpy()
+        n = len(t)
+        return pa.table({
+            "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+            "jkey": pa.array(ids),
+            "doc_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "doc_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "carry": pa.nulls(n, pa.string()),
+            "jtext": pc.cast(t["text"], pa.string()),
+            "side": pa.array(np.ones(n, dtype=np.int8))})
 
-    both = cands.map_batches(key_cand, batch_format="pandas").union(
-        corpus.map_batches(key_corpus, batch_format="pandas"))
+    both = cands.map_batches(key_cand, batch_format="pyarrow").union(
+        corpus.map_batches(key_corpus, batch_format="pyarrow"))
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        corp = g[g["side"] == 1]
-        lookup = dict(zip(corp["jkey"], corp["jtext"]))
-        c = g[g["side"] == 0]
-        if dedupe_pairs and len(c):
-            c = c.sort_values(["doc_a", "doc_b"], kind="mergesort") \
-                .drop_duplicates(["doc_a", "doc_b"])
-        attached = c["jkey"].map(lookup)
-        keep = attached.notna()
-        c = c[keep]
-        out = {"doc_a": c["doc_a"].to_numpy(),
-               "doc_b": c["doc_b"].to_numpy()}
+    empty = pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        **({"text_a": pa.array([], pa.string())} if carry else {}),
+        out_col: pa.array([], pa.string())})
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["side"].to_numpy()
+        corp_mask = side == 1
+        corp_keys = g["jkey"].to_numpy()[corp_mask]
+        corp_text = g["jtext"].filter(pa.array(corp_mask))
+        cand_mask = ~corp_mask
+        c = g.filter(pa.array(cand_mask))
+        if len(c) == 0:
+            return empty
+        if dedupe_pairs:
+            a = c["doc_a"].to_numpy()
+            b = c["doc_b"].to_numpy()
+            order = np.lexsort((b, a))
+            a_s, b_s = a[order], b[order]
+            dup = np.zeros(len(order), dtype=bool)
+            dup[1:] = (a_s[1:] == a_s[:-1]) & (b_s[1:] == b_s[:-1])
+            c = c.take(pa.array(order[~dup]))
+        idx = pc.index_in(c["jkey"], value_set=pa.array(corp_keys))
+        keep = pc.is_valid(idx)
+        c = c.filter(keep)
+        if len(c) == 0:
+            return empty
+        attached = pc.take(corp_text, idx.filter(keep))
+        cols = {"doc_a": c["doc_a"], "doc_b": c["doc_b"]}
         if carry:
-            out["text_a"] = c["carry"].to_numpy()
-        out[out_col] = attached[keep].to_numpy()
-        return pd.DataFrame(out)
+            cols["text_a"] = c["carry"]
+        cols[out_col] = attached
+        return pa.table(cols)
 
     return both.groupby("bucket").map_groups(join_bucket,
-                                             batch_format="pandas")
+                                             batch_format="pyarrow")
 
 
 # Per-process verify-sketch memoization.  Keys are (length, hash(text))
