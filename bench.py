@@ -92,6 +92,10 @@ BENCH_QUERIES = (
     "part_fuzzy_match_counts",
     "events_views_vs_purchases",
     "corpus_build_pipeline",
+    # round-4: the full dedup composite (LSH -> verify -> CC -> anti join)
+    # joins the permanent subset alongside q5/q10/corpus_build_pipeline —
+    # the expensive shapes stay benchmarked every round
+    "dedup_pipeline",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and

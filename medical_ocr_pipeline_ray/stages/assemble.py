@@ -74,6 +74,17 @@ def _add_keys(batch: pa.Table, buckets: int, salt_span: int,
             if b is not None:
                 salt[i] = np.searchsorted(b, turn[i], side="right") - 1
     out = batch
+    # dictionary-encode conv_id before the exchange: each block then
+    # ships every distinct conv_id ONCE (int32 indices per row instead
+    # of a repeated ~12-byte string) — a turn-count/conv-count bytes cut
+    # on the assembly shuffle.  Ray's sort exchange concatenates blocks
+    # with differing dictionaries correctly (probed), and the pandas
+    # folds see a categorical whose .to_numpy() is the same string array
+    # as before.
+    import pyarrow.compute as pc
+    ci = out.schema.get_field_index("conv_id")
+    out = out.set_column(ci, "conv_id",
+                         pc.dictionary_encode(out["conv_id"]))
     for name, arr in (("bucket", bucket), ("salt", salt)):
         if name in out.column_names:
             out = out.drop_columns([name])
