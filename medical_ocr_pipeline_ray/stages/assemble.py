@@ -74,17 +74,14 @@ def _add_keys(batch: pa.Table, buckets: int, salt_span: int,
             if b is not None:
                 salt[i] = np.searchsorted(b, turn[i], side="right") - 1
     out = batch
-    # dictionary-encode conv_id before the exchange: each block then
-    # ships every distinct conv_id ONCE (int32 indices per row instead
-    # of a repeated ~12-byte string) — a turn-count/conv-count bytes cut
-    # on the assembly shuffle.  Ray's sort exchange concatenates blocks
-    # with differing dictionaries correctly (probed), and the pandas
-    # folds see a categorical whose .to_numpy() is the same string array
-    # as before.
-    import pyarrow.compute as pc
-    ci = out.schema.get_field_index("conv_id")
-    out = out.set_column(ci, "conv_id",
-                         pc.dictionary_encode(out["conv_id"]))
+    # NEGATIVE RESULT (round 4, kept for the record): dictionary-encoding
+    # conv_id here — each block shipping every distinct id once as int32
+    # indices — measured assembly 16.9 s vs 10.7 s WITHOUT on a same-
+    # window A/B (bench_xl, 32 CPUs): the per-block encode hash of every
+    # conv_id plus the categorical→object conversion inside the pandas
+    # folds costs more than the ~12 B/row of string savings, because
+    # text_extracted dominates the exchange bytes anyway (conv_id is
+    # ~4% of the row).  Reverted; see BASELINE.md round-4 notes.
     for name, arr in (("bucket", bucket), ("salt", salt)):
         if name in out.column_names:
             out = out.drop_columns([name])
