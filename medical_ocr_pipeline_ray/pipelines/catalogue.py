@@ -258,6 +258,14 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": corpus.doc_dup_spans,
         "doc_vocab_oov": corpus.doc_vocab_oov,
         "q5_region_revenue": relational.q5_region_revenue,
+        # round-4 additions (r5 board candidates): HAVING-gate rejoin
+        # top-k, all-pairs trade-volume exchange chain, cohort
+        # retention, grouped argmin, C4 line gate
+        "q18_large_orders": relational.q18_large_orders,
+        "q7_nation_volume": relational.q7_nation_volume,
+        "events_retention_7d": relational.events_retention_7d,
+        "part_cheapest_supplier": relational.part_cheapest_supplier,
+        "doc_c4_line_filter": textops.doc_c4_line_filter,
         "events_gap_stats": relational.events_gap_stats,
         "events_funnel": relational.events_funnel,
         "supplier_topk_per_nation": relational.supplier_topk_per_nation,
@@ -380,6 +388,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": corpus.DOC_DUP_SPANS_SQL,
         "doc_vocab_oov": corpus.DOC_VOCAB_OOV_SQL,
         "q5_region_revenue": relational.Q5_SQL,
+        "q18_large_orders": relational.Q18_SQL,
+        "q7_nation_volume": relational.Q7_SQL,
+        "events_retention_7d": relational.EVENTS_RETENTION_SQL,
+        "part_cheapest_supplier": relational.PART_CHEAPEST_SQL,
+        "doc_c4_line_filter": textops.DOC_C4_LINE_SQL,
         "events_gap_stats": relational.EVENTS_GAP_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "supplier_topk_per_nation": relational.SUPPLIER_TOPK_SQL,

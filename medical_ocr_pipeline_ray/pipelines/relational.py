@@ -2979,3 +2979,425 @@ SELECT l_returnflag,
   n
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume orders): per-order HAVING gate on a fact-side
+# aggregate, re-joined to two more facts, exact global top-k.  Two
+# bucketed exchanges + a combiner top-k:
+# 1. orderkey bucket: lineitem per-batch combiner partials + order rows
+#    fold together — per-order quantity total, HAVING > threshold, order
+#    columns attached in the same task (no separate join round).
+# 2. custkey bucket: survivors ⋈ customer (a FACT at TPC-H scale —
+#    bucketed, never broadcast) for c_name.
+# 3. ``local_topk`` by (totalprice desc, orderdate, orderkey) — combiner
+#    top-k, no total sort.
+# ---------------------------------------------------------------------------
+
+def q18_large_orders(sf_dir: str, qty_threshold: int = 250, k: int = 100):
+    """Orders whose total lineitem quantity exceeds ``qty_threshold``:
+    (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty),
+    top-k by (o_totalprice desc, o_orderdate, o_orderkey)."""
+    n_b = buckets_for(table_bytes(sf_dir, "lineitem"))
+    nb_c = buckets_for(table_bytes(sf_dir, "customer"))
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+
+    def li_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        okey = g["l_orderkey"].to_numpy(np.int64)
+        n = len(g)
+        return pd.DataFrame({
+            "bucket": (okey % n_b).astype(np.int32),
+            "okey": okey,
+            "qty": np.rint(g["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64),
+            "ckey": np.full(n, -1, dtype=np.int64),
+            "price_c": np.zeros(n, dtype=np.int64),
+            "odate": np.full(n, np.datetime64("1970-01-01", "us")),
+            "side": np.zeros(n, dtype=np.int8)})
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        okey = df["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (okey % n_b).astype(np.int32),
+            "okey": okey,
+            "qty": np.zeros(len(df), dtype=np.int64),
+            "ckey": df["o_custkey"].to_numpy(np.int64),
+            "price_c": _cents(df["o_totalprice"]),
+            "odate": df["o_orderdate"].to_numpy(),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    both = li.map_batches(li_part, batch_format="pandas").union(
+        orders.map_batches(o_part, batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        liq = g[g["side"] == 0].groupby("okey")["qty"].sum()
+        big = liq[liq > qty_threshold]
+        o = g[g["side"] == 1].set_index("okey")
+        o = o[o.index.isin(big.index)]
+        return pd.DataFrame({
+            "bucket2": (o["ckey"].to_numpy() % nb_c).astype(np.int32),
+            "okey": o.index.to_numpy(np.int64),
+            "ckey": o["ckey"].to_numpy(np.int64),
+            "price_c": o["price_c"].to_numpy(np.int64),
+            "odate": o["odate"].to_numpy(),
+            "sum_qty": big.loc[o.index].to_numpy(np.int64),
+            "side": np.zeros(len(o), dtype=np.int8),
+            "c_name": np.full(len(o), "", dtype=object)})
+
+    survivors = both.groupby("bucket").map_groups(fold,
+                                                  batch_format="pandas")
+
+    def c_part(df: pd.DataFrame) -> pd.DataFrame:
+        ckey = df["c_custkey"].to_numpy(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "bucket2": (ckey % nb_c).astype(np.int32),
+            "okey": np.full(n, -1, dtype=np.int64),
+            "ckey": ckey,
+            "price_c": np.zeros(n, dtype=np.int64),
+            "odate": np.full(n, np.datetime64("1970-01-01", "us")),
+            "sum_qty": np.zeros(n, dtype=np.int64),
+            "side": np.ones(n, dtype=np.int8),
+            "c_name": df["c_name"].astype(object)})
+
+    both2 = survivors.union(cust.map_batches(c_part,
+                                             batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        names = dict(zip(g.loc[g["side"] == 1, "ckey"],
+                         g.loc[g["side"] == 1, "c_name"]))
+        s = g[g["side"] == 0]
+        return pd.DataFrame({
+            "c_name": s["ckey"].map(names).to_numpy(),
+            "c_custkey": s["ckey"].to_numpy(np.int64),
+            "o_orderkey": s["okey"].to_numpy(np.int64),
+            "o_orderdate": s["odate"].to_numpy(),
+            "price_c": s["price_c"].to_numpy(np.int64),
+            "sum_qty": s["sum_qty"].to_numpy(np.int64)})
+
+    rows = both2.groupby("bucket2").map_groups(attach,
+                                               batch_format="pandas")
+    top = local_topk(rows, ["price_c", "o_orderdate", "o_orderkey"],
+                     [True, False, False], k).to_pandas()
+    top["o_totalprice"] = top["price_c"].to_numpy(np.float64) / 100.0
+    return top[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]]
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       sum_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY round(o_totalprice * 100) DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 (volume shipping) generalized to ALL nation pairs: trade
+# volume (supplier nation → customer nation) by ship year.  Q5's
+# exchange-chain shape — THREE bucketed fact-fact joins (suppkey, then
+# orderkey, then custkey), nations-only broadcast, per-bucket partials
+# so the final groupby is ≤ 625·years·P rows.  (The classic two-nation
+# filter is a parameter of the same plan; the all-pairs form keeps the
+# operator meaningful at every sf tier.)
+# ---------------------------------------------------------------------------
+
+def q7_nation_volume(sf_dir: str, year_lo: int = 1995,
+                     year_hi: int = 1996):
+    """Revenue shipped from supplier nation to customer nation per ship
+    year: (supp_nation, cust_nation, l_year, revenue)."""
+    nat = pq.read_table(_t(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name"]).to_pylist()
+    names = {r["n_nationkey"]: r["n_name"] for r in nat}
+    nb_s = buckets_for(table_bytes(sf_dir, "supplier"))
+    nb_o = buckets_for(table_bytes(sf_dir, "orders"))
+    nb_c = buckets_for(table_bytes(sf_dir, "customer"))
+    lo = pd.Timestamp(f"{year_lo}-01-01")
+    hi = pd.Timestamp(f"{year_hi + 1}-01-01")
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    # --- exchange 1: lineitem ⋈ supplier on suppkey (supplier = fact) ---
+    def li_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        rev = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                      * (1.0 - df["l_discount"].to_numpy(np.float64))
+                      * 1_000_000).astype(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (sk % nb_s).astype(np.int32),
+            "jkey": sk,
+            "okey": df["l_orderkey"].to_numpy(np.int64),
+            "year": df["l_shipdate"].dt.year.to_numpy(np.int32),
+            "rev": rev,
+            "nat": np.full(len(df), -1, dtype=np.int32),
+            "side": np.zeros(len(df), dtype=np.int8)})
+
+    def s_k(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["s_suppkey"].to_numpy(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "bucket": (sk % nb_s).astype(np.int32),
+            "jkey": sk,
+            "okey": np.full(n, -1, dtype=np.int64),
+            "year": np.zeros(n, dtype=np.int32),
+            "rev": np.zeros(n, dtype=np.int64),
+            "nat": df["s_nationkey"].to_numpy(np.int32),
+            "side": np.ones(n, dtype=np.int8)})
+
+    sup = rd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    b1 = li.map_batches(li_k, batch_format="pandas").union(
+        sup.map_batches(s_k, batch_format="pandas"))
+
+    def j1(g: pd.DataFrame) -> pd.DataFrame:
+        nats = dict(zip(g.loc[g["side"] == 1, "jkey"],
+                        g.loc[g["side"] == 1, "nat"]))
+        c = g[g["side"] == 0]
+        snat = c["jkey"].map(nats)
+        keep = snat.notna()
+        c = c[keep]
+        okey = c["okey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (okey % nb_o).astype(np.int32),
+            "jkey": okey,
+            "snat": snat[keep].to_numpy().astype(np.int32),
+            "year": c["year"].to_numpy(np.int32),
+            "rev": c["rev"].to_numpy(np.int64),
+            "ckey": np.full(len(c), -1, dtype=np.int64),
+            "side": np.zeros(len(c), dtype=np.int8)})
+
+    matched1 = b1.groupby("bucket").map_groups(j1, batch_format="pandas")
+
+    # --- exchange 2: ⋈ orders on orderkey → custkey ---
+    def o_k(df: pd.DataFrame) -> pd.DataFrame:
+        okey = df["o_orderkey"].to_numpy(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "bucket": (okey % nb_o).astype(np.int32),
+            "jkey": okey,
+            "snat": np.full(n, -1, dtype=np.int32),
+            "year": np.zeros(n, dtype=np.int32),
+            "rev": np.zeros(n, dtype=np.int64),
+            "ckey": df["o_custkey"].to_numpy(np.int64),
+            "side": np.ones(n, dtype=np.int8)})
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    b2 = matched1.union(orders.map_batches(o_k, batch_format="pandas"))
+
+    def j2(g: pd.DataFrame) -> pd.DataFrame:
+        cks = dict(zip(g.loc[g["side"] == 1, "jkey"],
+                       g.loc[g["side"] == 1, "ckey"]))
+        c = g[g["side"] == 0]
+        ck = c["jkey"].map(cks)
+        keep = ck.notna()
+        c = c[keep]
+        ckey = ck[keep].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "bucket": (ckey % nb_c).astype(np.int32),
+            "jkey": ckey,
+            "snat": c["snat"].to_numpy(np.int32),
+            "year": c["year"].to_numpy(np.int32),
+            "rev": c["rev"].to_numpy(np.int64),
+            "cnat": np.full(len(c), -1, dtype=np.int32),
+            "side": np.zeros(len(c), dtype=np.int8)})
+
+    matched2 = b2.groupby("bucket").map_groups(j2, batch_format="pandas")
+
+    # --- exchange 3: ⋈ customer on custkey, per-bucket partials ---
+    def c_k(df: pd.DataFrame) -> pd.DataFrame:
+        ckey = df["c_custkey"].to_numpy(np.int64)
+        n = len(df)
+        return pd.DataFrame({
+            "bucket": (ckey % nb_c).astype(np.int32),
+            "jkey": ckey,
+            "snat": np.full(n, -1, dtype=np.int32),
+            "year": np.zeros(n, dtype=np.int32),
+            "rev": np.zeros(n, dtype=np.int64),
+            "cnat": df["c_nationkey"].to_numpy(np.int32),
+            "side": np.ones(n, dtype=np.int8)})
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    b3 = matched2.union(cust.map_batches(c_k, batch_format="pandas"))
+
+    def j3(g: pd.DataFrame) -> pd.DataFrame:
+        cns = dict(zip(g.loc[g["side"] == 1, "jkey"],
+                       g.loc[g["side"] == 1, "cnat"]))
+        c = g[g["side"] == 0]
+        cn = c["jkey"].map(cns)
+        keep = cn.notna()
+        c = c[keep]
+        cnat = cn[keep].to_numpy().astype(np.int32)
+        part = pd.DataFrame({
+            "snat": c["snat"].to_numpy(np.int32), "cnat": cnat,
+            "year": c["year"].to_numpy(np.int32),
+            "rev": c["rev"].to_numpy(np.int64)})
+        return part.groupby(["snat", "cnat", "year"],
+                            as_index=False)["rev"].sum()
+
+    partials = b3.groupby("bucket").map_groups(j3, batch_format="pandas")
+    agg = partials.groupby(["snat", "cnat", "year"]).aggregate(
+        Sum("rev", alias_name="rev")).to_pandas()
+    agg = agg.sort_values(["snat", "cnat", "year"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "supp_nation": agg["snat"].map(names).to_numpy(),
+        "cust_nation": agg["cnat"].map(names).to_numpy(),
+        "l_year": agg["year"].to_numpy(np.int32),
+        "revenue": agg["rev"].to_numpy(np.float64) / 1_000_000.0})
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*1000000) AS BIGINT))
+         / 1000000.0 AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (day-0 → day-7): the standard product-analytics
+# self-join, as ONE bucketed exchange — a user's whole history lands in
+# one bucket task (events_sessions' shape), where cohort date and the
+# +7d membership test are a local set probe; the second groupby runs
+# over per-bucket partials (≤ dates·P rows).
+# ---------------------------------------------------------------------------
+
+def events_retention_7d(sf_dir: str, n_buckets: int | None = None):
+    """Per first-event date: cohort size and users active again exactly
+    7 days later — (cohort_date, n_users, n_retained)."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (uid % n_b).astype(np.int32),
+            "user_id": uid,
+            "day": df["ts"].dt.normalize().to_numpy()})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("user_id")["day"].agg(["min", lambda s: set(s)])
+        per.columns = ["first", "days"]
+        ret = np.fromiter(
+            (f + np.timedelta64(7, "D") in d
+             for f, d in zip(per["first"], per["days"])),
+            dtype=np.int64, count=len(per))
+        part = pd.DataFrame({
+            "cohort_date": per["first"].to_numpy(),
+            "n_users": np.ones(len(per), dtype=np.int64),
+            "n_retained": ret})
+        return part.groupby("cohort_date", as_index=False).sum()
+
+    partials = ds.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+    out = partials.groupby("cohort_date").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_retained", alias_name="n_retained")).to_pandas()
+    return out.sort_values("cohort_date").reset_index(drop=True)
+
+
+EVENTS_RETENTION_SQL = """
+WITH d AS (
+  SELECT user_id, date_trunc('day', ts) AS day FROM events GROUP BY 1, 2),
+f AS (
+  SELECT user_id, min(day) AS cohort_date FROM d GROUP BY user_id),
+r AS (
+  SELECT f.user_id, f.cohort_date,
+         max(CASE WHEN d.day = f.cohort_date + INTERVAL 7 DAY
+             THEN 1 ELSE 0 END) AS retained
+  FROM f JOIN d USING (user_id) GROUP BY f.user_id, f.cohort_date)
+SELECT CAST(cohort_date AS TIMESTAMP) AS cohort_date,
+       count(*) AS n_users,
+       CAST(sum(retained) AS BIGINT) AS n_retained
+FROM r GROUP BY cohort_date ORDER BY cohort_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cheapest-supplier-per-part (TPC-H Q2's argmin shape over observed
+# lineitem prices — the testdata has no partsupp table): grouped argmin
+# with deterministic tie-break, as per-batch combiner partials + one
+# orderkey-free groupby over (part, supp, min_unit) partials.
+# ---------------------------------------------------------------------------
+
+def part_cheapest_supplier(sf_dir: str, n_buckets: int | None = None):
+    """Per part: the supplier observed shipping it at the lowest unit
+    price (cents, ties → smallest suppkey) — (l_partkey, l_suppkey,
+    min_unit_cents)."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "lineitem"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # HALF-UP on both engines: np.rint is half-even but DuckDB
+        # round() is half-away, and unit-price quotients DO land on
+        # exact binary halves (e.g. 50.25/2*100) — floor(x+0.5) is the
+        # same IEEE expression on both sides
+        unit = np.floor(df["l_extendedprice"].to_numpy(np.float64)
+                        / df["l_quantity"].to_numpy(np.float64)
+                        * 100 + 0.5).astype(np.int64)
+        t = pd.DataFrame({
+            "pk": df["l_partkey"].to_numpy(np.int64),
+            "sk": df["l_suppkey"].to_numpy(np.int64),
+            "unit": unit})
+        # batch-local argmin by (unit, suppkey)
+        t = t.sort_values(["pk", "unit", "sk"],
+                          kind="mergesort").drop_duplicates("pk")
+        t["bucket"] = (t["pk"] % n_b).astype(np.int32)
+        return t
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pk", "unit", "sk"],
+                          kind="mergesort").drop_duplicates("pk")
+        return pd.DataFrame({
+            "l_partkey": g["pk"].to_numpy(np.int64),
+            "l_suppkey": g["sk"].to_numpy(np.int64),
+            "min_unit_cents": g["unit"].to_numpy(np.int64)})
+
+    return rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_quantity"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+PART_CHEAPEST_SQL = """
+WITH u AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)
+           AS unit,
+         l_suppkey
+  FROM lineitem)
+SELECT l_partkey, l_suppkey, unit AS min_unit_cents
+FROM u
+QUALIFY row_number() OVER (PARTITION BY l_partkey
+                           ORDER BY unit, l_suppkey) = 1
+"""

@@ -1368,3 +1368,61 @@ QUALIFY row_number() OVER (PARTITION BY source
                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
                                     doc_id) <= 25
 """
+
+
+def doc_c4_line_filter(sf_dir: str, min_words: int = 5):
+    """C4-style line gating ("Exploring the Limits of Transfer Learning",
+    §2.2 heuristics): keep only lines with ≥ ``min_words`` words that end
+    in terminal punctuation (. ! ? or a closing quote); per doc emit line
+    counts and the md5 of the cleaned text — the pre-training corpus
+    line-cleanup pass.  Stateless batch map (no shuffle); ASCII-explicit
+    classes for RE2/Python dialect parity."""
+    import hashlib
+    import re
+
+    word_rx = re.compile(r"[A-Za-z0-9]+")
+    term_rx = re.compile(r'[.!?"]$')
+    ws = " \t\r\f\v"
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, n_lines, n_kept, md5s = [], [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            lines = (t or "").split("\n")
+            kept = [ln for ln in lines
+                    if len(word_rx.findall(ln)) >= min_words
+                    and term_rx.search(ln.strip(ws))]
+            ids.append(int(did))
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+            md5s.append(hashlib.md5(
+                "\n".join(ln.strip(ws) for ln in kept)
+                .encode("utf-8")).hexdigest())
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "n_lines": np.array(n_lines, dtype=np.int64),
+            "n_kept": np.array(n_kept, dtype=np.int64),
+            "clean_md5": pd.Series(md5s, dtype=object)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+DOC_C4_LINE_SQL = """
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10)))))
+           AS ln
+  FROM documents),
+m AS (
+  SELECT doc_id, ln, trim(line, e' \\t\\r\\f\\v') AS sline,
+         CASE WHEN len(regexp_extract_all(line, '[A-Za-z0-9]+')) >= 5
+                   AND regexp_matches(trim(line, e' \\t\\r\\f\\v'),
+                                      '[.!?"]$')
+              THEN 1 ELSE 0 END AS kept
+  FROM l)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN kept = 1 THEN sline END,
+                               chr(10) ORDER BY ln), '')) AS clean_md5
+FROM m GROUP BY doc_id
+"""

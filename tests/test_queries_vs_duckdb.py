@@ -95,6 +95,8 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "parts_shipped_1996_only",
     "annotate_turn_entities", "segment_turns", "engine_block_stats",
     "best_variant_extraction", "approx_distinct_shingles",
+    "q18_large_orders", "q7_nation_volume", "events_retention_7d",
+    "part_cheapest_supplier", "doc_c4_line_filter",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
