@@ -20,7 +20,7 @@ from ..config import DEFAULT_PIPELINE
 from ..sources.transcripts import read_transcripts
 from ..synth import tier_for_sf_dir
 from . import (corpus, dedup, documents, multimodal, qa, relational,
-               segments, similarity, textops)
+               segments, similarity, textops, turn_oracle)
 from .extract_pipeline import build_turns_pipeline
 from ..stages.assemble import assemble_conversations
 
@@ -266,6 +266,11 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "events_retention_7d": relational.events_retention_7d,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
         "doc_c4_line_filter": textops.doc_c4_line_filter,
+        # flagship-as-oracled (pinned tier, sequential-oracle export):
+        # a green row IS the per-turn / per-conversation parity claim
+        "extract_turns_oracled": turn_oracle.extract_turns_oracled,
+        "assemble_conversations_oracled":
+            turn_oracle.assemble_conversations_oracled,
         "events_gap_stats": relational.events_gap_stats,
         "events_funnel": relational.events_funnel,
         "supplier_topk_per_nation": relational.supplier_topk_per_nation,
@@ -393,6 +398,13 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_7d": relational.EVENTS_RETENTION_SQL,
         "part_cheapest_supplier": relational.PART_CHEAPEST_SQL,
         "doc_c4_line_filter": textops.DOC_C4_LINE_SQL,
+        "extract_turns_oracled": turn_oracle.extract_turns_sql(),
+        "assemble_conversations_oracled":
+            turn_oracle.assemble_conversations_sql(),
+        "qa_turn_metrics": qa.qa_turn_metrics_sql(),
+        "qa_content_accounting": qa.qa_content_accounting_sql(),
+        "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
+        "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,
         "events_gap_stats": relational.EVENTS_GAP_SQL,
         "events_funnel": relational.EVENTS_FUNNEL_SQL,
         "supplier_topk_per_nation": relational.SUPPLIER_TOPK_SQL,

@@ -35,7 +35,12 @@ def _turns_for(sf_dir: str):
 
 
 def qa_turn_metrics(sf_dir: str):
-    turns = _turns_for(sf_dir)
+    """Per-payload-class rollup.  ORACLED over the exported turns view
+    (pinned tier — turn_oracle.py): the SQL re-aggregates the same sums
+    from the sequential-oracle export."""
+    from .turn_oracle import ORACLE_TIER, ensure_export
+    ensure_export()
+    turns = build_turns_pipeline(read_transcripts(ORACLE_TIER))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = pd.DataFrame({
@@ -102,8 +107,11 @@ def qa_content_accounting(sf_dir: str):
 def topk_boilerplate_turns(sf_dir: str, k: int = 20):
     """Top-k turns by boilerplate-stripped char count (raw − extracted) —
     the reference's 'top-N most-changed blocks' QA view (O3,
-    notebooks/03a_llm_cleanup_qa.ipynb TOP_N=12) as sort(desc).limit(k)."""
-    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+    notebooks/03a_llm_cleanup_qa.ipynb TOP_N=12) as sort(desc).limit(k).
+    ORACLED over the exported turns view (pinned tier)."""
+    from .turn_oracle import ORACLE_TIER, ensure_export
+    ensure_export()
+    ds = read_transcripts(ORACLE_TIER)
 
     # raw length must be captured before the projection drops text — carry
     # it via a pre-pass that appends raw_chars ahead of extraction
@@ -551,4 +559,44 @@ FROM read_parquet('{variants_parquet()}')
 QUALIFY row_number() OVER (
     PARTITION BY conv_id, turn_idx
     ORDER BY blocks_kept DESC, content_chars DESC, variant DESC) = 1
+"""
+
+
+def qa_turn_metrics_sql() -> str:
+    from .turn_oracle import turns_parquet
+    return f"""
+SELECT payload_class, count(*) AS n_turns,
+       CAST(sum(content_chars) AS BIGINT) AS content_chars,
+       CAST(sum(blocks_kept) AS BIGINT) AS blocks_kept,
+       CAST(sum(blocks_dropped_dup) AS BIGINT) AS blocks_dropped_dup,
+       CAST(sum(CASE WHEN content_chars = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_out
+FROM read_parquet('{turns_parquet()}')
+GROUP BY payload_class
+"""
+
+
+def qa_content_accounting_sql() -> str:
+    from .turn_oracle import turns_parquet
+    tp = turns_parquet()
+    return f"""
+SELECT payload_class,
+       CAST(sum(content_chars) AS BIGINT) AS extracted_chars,
+       CAST(sum(span_chars) AS BIGINT) AS span_chars,
+       count(*) AS n_turns,
+       (SELECT CAST(sum(raw_chars) AS BIGINT)
+        FROM read_parquet('{tp}')) AS corpus_raw_chars
+FROM read_parquet('{tp}')
+GROUP BY payload_class
+"""
+
+
+def topk_boilerplate_sql() -> str:
+    from .turn_oracle import turns_parquet
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, payload_class,
+       CAST(raw_chars - content_chars AS BIGINT) AS chars_removed
+FROM read_parquet('{turns_parquet()}')
+ORDER BY chars_removed DESC, conv_id, turn_idx
+LIMIT 20
 """

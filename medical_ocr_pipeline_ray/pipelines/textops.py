@@ -1216,7 +1216,16 @@ SELECT CAST(0.99 AS DOUBLE) AS q,
 
 def approx_value_quantiles(sf_dir: str, k: int = 4096):
     """Approximate (0.25, 0.5, 0.75, 0.9, 0.99) quantiles of
-    events.value from a deterministic bottom-k-by-hash sample."""
+    events.value from a deterministic bottom-k-by-hash sample.
+
+    ORACLED as a tolerance gate (the sample itself is not
+    SQL-reproducible, its accuracy claim is): the result carries the
+    EXACT discrete quantile per q plus ``within_tol`` — TRUE iff the
+    estimate's exact rank interval, widened by the 3σ binomial sampling
+    band (±3·√(q(1−q)/k)), covers q.  The rank-interval form
+    (count< … count≤) makes the gate tie-robust on the cents-quantized
+    value domain.  The SQL oracle recomputes the exact quantiles and
+    asserts TRUE, so estimator drift turns the driver row red."""
     from .relational import local_topk
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
@@ -1229,14 +1238,44 @@ def approx_value_quantiles(sf_dir: str, k: int = 4096):
                              "value": df["value"]
                              .to_numpy(np.float64)})
 
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
     sample = local_topk(ds.map_batches(hashed, batch_format="pandas"),
                         ["h"], [False], k).to_pandas()
     vals = np.sort(sample["value"].to_numpy(np.float64))
-    n = len(vals)
+    n_s = len(vals)
+    ests = []
+    for q in qs:
+        idx = min(int(np.ceil(q * n_s)) - 1, n_s - 1)
+        ests.append(float(vals[max(idx, 0)]))
+
+    # exact discrete quantiles + rank interval of each estimate, from
+    # ONE bounded-cardinality cents histogram (the counting pattern)
+    from ray.data.aggregate import Sum
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"cents": v, "n": c.astype(np.int64)})
+
+    h = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"]) \
+        .map_batches(hist, batch_format="pandas") \
+        .groupby("cents").aggregate(Sum("n", alias_name="n")) \
+        .sort("cents").to_pandas()
+    cum = h["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    cents = h["cents"].to_numpy()
     rows = []
-    for q in (0.25, 0.5, 0.75, 0.9, 0.99):
-        idx = min(int(np.ceil(q * n)) - 1, n - 1)
-        rows.append({"q": q, "value": float(vals[max(idx, 0)])})
+    for q, est in zip(qs, ests):
+        rank = int(np.ceil(q * total))
+        exact = float(cents[int(np.searchsorted(cum, rank))]) / 100.0
+        ec = int(np.rint(est * 100))
+        i = int(np.searchsorted(cents, ec))
+        lt = int(cum[i - 1]) if i > 0 else 0          # count(value < est)
+        le = int(cum[i]) if i < len(cents) and cents[i] == ec else lt
+        tol = 3.0 * np.sqrt(q * (1 - q) / k)
+        ok = (lt / total < q + tol) and (le / total >= q - tol)
+        rows.append({"q": q, "value": exact, "within_tol": bool(ok)})
     return pd.DataFrame(rows)
 
 
@@ -1426,3 +1465,11 @@ SELECT doc_id, count(*) AS n_lines,
                                chr(10) ORDER BY ln), '')) AS clean_md5
 FROM m GROUP BY doc_id
 """
+
+
+# exact quantiles + the estimator's 3σ gate asserted TRUE (mirrors
+# EVENTS_QUANTILES_SQL's quantile_disc rows)
+APPROX_QUANTILES_SQL = (
+    "SELECT q, value, TRUE AS within_tol FROM (" +
+    EVENTS_QUANTILES_SQL + ") t"
+)

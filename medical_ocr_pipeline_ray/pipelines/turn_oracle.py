@@ -37,7 +37,7 @@ from ..config import DEFAULT_EXTRACT, ExtractConfig
 from ..synth import GEN_VERSION, TIERS, materialize_tier
 
 ORACLE_TIER = "t1"
-EXPORT_VERSION = "e1"
+EXPORT_VERSION = "e2"      # e2: + raw_chars / span_chars / blocks_dropped_dup
 
 _ROOT = "/tmp/mopr_turns_oracle"
 
@@ -76,15 +76,27 @@ def _build_export(out: str) -> None:
 
     rows = _raw_rows()
 
-    # 1) extracted turns via the sequential oracle (no Ray)
+    # 1) extracted turns via the sequential oracle (no Ray).  rows and
+    # tdf share the (conv_id, turn_idx) order (_raw_rows pre-sorts and
+    # the oracle's sort is stable), so raw-text stats zip positionally.
     tdf = oracle_extract_turns(rows)
+    raw_chars = np.array(
+        [len(r["text"]) if isinstance(r["text"], str) else 0
+         for r in rows], dtype=np.int64)
+    span_chars = np.array(
+        [sum(s["end"] - s["start"] for s in sp) if sp else 0
+         for sp in tdf["spans"]], dtype=np.int64)
     pq.write_table(pa.table({
         "conv_id": pa.array(tdf["conv_id"], pa.string()),
         "turn_idx": pa.array(tdf["turn_idx"].astype(np.int32)),
         "payload_class": pa.array(tdf["payload_class"], pa.string()),
         "text_extracted": pa.array(tdf["text_extracted"], pa.string()),
         "blocks_kept": pa.array(tdf["blocks_kept"].astype(np.int32)),
+        "blocks_dropped_dup": pa.array(
+            tdf["blocks_dropped_dup"].astype(np.int32)),
         "content_chars": pa.array(tdf["content_chars"].astype(np.int64)),
+        "raw_chars": pa.array(raw_chars),
+        "span_chars": pa.array(span_chars),
     }), os.path.join(out, "turns.parquet"))
 
     # 2) per-block stats of every tool-payload turn (engine comparison
@@ -144,3 +156,62 @@ def ensure_export() -> str:
         import shutil
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Flagship-as-oracled-queries: the Ray extraction/assembly pipelines over
+# the pinned tier vs SQL over the sequential-oracle export.  A green
+# driver row here IS the per-turn / per-conversation extraction-parity
+# claim, verified outside the repo's own test suite.
+# ---------------------------------------------------------------------------
+
+def extract_turns_oracled(sf_dir: str):
+    """Per-turn extraction over the pinned mini tier, value-oracled
+    against the exported sequential-oracle turns (the sf-scaled
+    ``extract_turns`` entry remains the rows-only scale demonstration)."""
+    from ..sources.transcripts import read_transcripts
+    from .extract_pipeline import build_turns_pipeline
+
+    ensure_export()
+    turns = build_turns_pipeline(read_transcripts(ORACLE_TIER))
+    return turns.select_columns([
+        "conv_id", "turn_idx", "payload_class", "text_extracted",
+        "blocks_kept", "blocks_dropped_dup", "content_chars"])
+
+
+def extract_turns_sql() -> str:
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, payload_class,
+       text_extracted, CAST(blocks_kept AS INT) AS blocks_kept,
+       CAST(blocks_dropped_dup AS INT) AS blocks_dropped_dup,
+       content_chars
+FROM read_parquet('{turns_parquet()}')
+"""
+
+
+def assemble_conversations_oracled(sf_dir: str):
+    """Conversation assembly (salted two-phase fold) over the pinned
+    tier, value-oracled: the SQL re-assembles every conversation from
+    the exported turns with ordered string_agg + sha256 — n_turns,
+    content_chars and the digest must all match."""
+    from ..config import DEFAULT_PIPELINE
+    from ..sources.transcripts import read_transcripts
+    from ..stages.assemble import assemble_conversations
+    from .extract_pipeline import build_turns_pipeline
+
+    ensure_export()
+    turns = build_turns_pipeline(read_transcripts(ORACLE_TIER))
+    convs = assemble_conversations(turns, DEFAULT_PIPELINE)
+    return convs.select_columns(
+        ["conv_id", "n_turns", "content_chars", "sha256"])
+
+
+def assemble_conversations_sql() -> str:
+    return f"""
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(content_chars) AS BIGINT) AS content_chars,
+       sha256(string_agg(text_extracted, chr(10) ORDER BY turn_idx))
+         AS sha256
+FROM read_parquet('{turns_parquet()}')
+GROUP BY conv_id
+"""

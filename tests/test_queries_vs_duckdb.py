@@ -97,6 +97,9 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "best_variant_extraction", "approx_distinct_shingles",
     "q18_large_orders", "q7_nation_volume", "events_retention_7d",
     "part_cheapest_supplier", "doc_c4_line_filter",
+    "extract_turns_oracled", "assemble_conversations_oracled",
+    "qa_turn_metrics", "qa_content_accounting",
+    "topk_boilerplate_turns", "approx_value_quantiles",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -113,16 +116,12 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
     non_sql = {"extract_turns", "assemble_conversations",
                "assemble_documents", "dedup_minhash_lsh",
                "dedup_simhash", "dedup_clusters", "dedup_pipeline",
-               "approx_value_quantiles",
                "knn_lsh", "knn_ivf", "knn_ivf_pruned",
                "embedding_near_dup", "multimodal_features",
-               "multimodal_resize", "multimodal_frame_sample", "sample_events",
-               "qa_turn_metrics", "qa_content_accounting",
-               "qa_against_expected", "segment_turns",
-               "topk_boilerplate_turns", "engine_block_stats",
-               "qa_quality_gate", "best_variant_extraction",
-               "payload_coverage_grid", "approx_distinct_shingles",
-               "doc_tfidf_top_terms", "annotate_turn_entities"}
+               "multimodal_resize", "multimodal_frame_sample",
+               "sample_events", "qa_against_expected",
+               "qa_quality_gate", "payload_coverage_grid",
+               "doc_tfidf_top_terms"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
 
