@@ -117,7 +117,6 @@ _BOARD: list[str] = [
     "orders_above_customer_avg",
     "orders_percent_rank",
     "orders_running_total",
-    "supplier_topk_per_nation",
     # window / analytics layer over events
     "events_outliers",
     "events_views_vs_purchases",
@@ -125,7 +124,6 @@ _BOARD: list[str] = [
     "events_funnel",
     "events_lag_delta",
     "events_rolling_avg",
-    "events_daily_active_users",
     # turn-side operators newly oracled in round 4 (exported turns view
     # + SQL recomputation; see pipelines/turn_oracle.py) — their green
     # rows double as driver-visible extraction-parity checks
@@ -134,9 +132,16 @@ _BOARD: list[str] = [
     "engine_block_stats",
     "best_variant_extraction",
     "approx_distinct_shingles",
-    # bumped to the round-5 rotation to make room for the five above:
+    # the flagship itself as driver-oracled rows: extraction per-turn
+    # parity and assembly digest parity vs the sequential oracle
+    "extract_turns_oracled",
+    "assemble_conversations_oracled",
+    # bumped to the round-5 rotation to make room for the seven above:
     # events_pivot_daily, customer_ntile_by_nation, doc_length_histogram,
-    # part_mode_brand, orders_month_over_month (plus all r1-r3 greens)
+    # part_mode_brand, orders_month_over_month, supplier_topk_per_nation,
+    # events_daily_active_users (plus all r1-r3 greens and the other
+    # round-4 additions: q18/q7/retention/cheapest/c4, qa_* oracles,
+    # payload_coverage_digest, approx_value_quantiles)
 ]
 
 
@@ -269,6 +274,7 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         # flagship-as-oracled (pinned tier, sequential-oracle export):
         # a green row IS the per-turn / per-conversation parity claim
         "extract_turns_oracled": turn_oracle.extract_turns_oracled,
+        "payload_coverage_digest": qa.payload_coverage_digest,
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_oracled,
         "events_gap_stats": relational.events_gap_stats,
@@ -402,6 +408,9 @@ def oracle_sql() -> dict[str, str]:
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_sql(),
         "qa_turn_metrics": qa.qa_turn_metrics_sql(),
+        "qa_quality_gate": qa.qa_quality_gate_sql(),
+        "qa_against_expected": qa.qa_against_expected_sql(),
+        "payload_coverage_digest": qa.payload_coverage_digest_sql(),
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

@@ -168,13 +168,23 @@ def export_metrics_csv(out_dir: str) -> str:
 
 
 def qa_against_expected(sf_dir: str):
-    """Per-turn CER/WER vs the generator sidecar, aggregated: rows,
-    mismatches, mean/max CER.  Expected sidecar is broadcast-free: both
-    datasets are keyed and hash-bucketed, compared inside map_groups."""
-    from ..functions.qa import cer, wer
+    """Per-turn CER vs the generator sidecar, aggregated: rows,
+    mismatches, sum/max CER.  Expected sidecar is broadcast-free: both
+    datasets are keyed and hash-bucketed, compared inside map_groups.
+    ORACLED (pinned tier): the SQL joins the exported turns to the
+    generator sidecar and mirrors the CER aggregate.  In the invariant
+    state (zero mismatches) both sides are exactly 0.0; a genuine
+    mismatch turns the row red on n_mismatch alone, with the CER
+    magnitude mirrored via levenshtein (byte-based in DuckDB — only
+    non-ASCII MISMATCHES could differ in magnitude, never in redness).
+    WER stays a pytest-level metric (token-level DP is not
+    SQL-expressible)."""
+    from ..functions.qa import cer
+    from .turn_oracle import ORACLE_TIER, ensure_export
 
-    tier = tier_for_sf_dir(sf_dir)
-    turns = _turns_for(sf_dir)
+    ensure_export()
+    tier = ORACLE_TIER
+    turns = build_turns_pipeline(read_transcripts(ORACLE_TIER))
     exp = rd.read_parquet(expected_dir(tier),
                           columns=["conv_id", "turn_idx", "expected_main"])
 
@@ -210,19 +220,15 @@ def qa_against_expected(sf_dir: str):
         if n == 0:
             return pd.DataFrame([{"n_rows": np.int64(0),
                                   "n_mismatch": np.int64(0),
-                                  "sum_cer": 0.0, "max_cer": 0.0,
-                                  "sum_wer": 0.0}])
+                                  "sum_cer": 0.0, "max_cer": 0.0}])
         mism = (m["text_got"] != m["text_want"])
         cers = [cer(w, t) if x else 0.0
-                for w, t, x in zip(m["text_want"], m["text_got"], mism)]
-        wers = [wer(w, t) if x else 0.0
                 for w, t, x in zip(m["text_want"], m["text_got"], mism)]
         return pd.DataFrame([{
             "n_rows": np.int64(n),
             "n_mismatch": np.int64(mism.sum()),
             "sum_cer": float(np.sum(cers)),
-            "max_cer": float(np.max(cers) if cers else 0.0),
-            "sum_wer": float(np.sum(wers))}])
+            "max_cer": float(np.max(cers) if cers else 0.0)}])
 
     per_bucket = a.union(b).groupby("bucket").map_groups(
         score_bucket, batch_format="pandas")
@@ -230,8 +236,7 @@ def qa_against_expected(sf_dir: str):
         Sum("n_rows", alias_name="n_rows"),
         Sum("n_mismatch", alias_name="n_mismatch"),
         Sum("sum_cer", alias_name="sum_cer"),
-        Max("max_cer", alias_name="max_cer"),
-        Sum("sum_wer", alias_name="sum_wer"))
+        Max("max_cer", alias_name="max_cer"))
     return pd.DataFrame([totals])
 
 
@@ -318,8 +323,12 @@ def qa_quality_gate(sf_dir: str, max_content_drop: float = 0.15):
       unsanctioned = discovered content chars − sanctioned − extracted.
     A problem turn has unsanctioned drop ratio > max_content_drop — the
     engine's invariant is that this is ~always 0 (content is tagged,
-    never silently lost)."""
-    turns = _turns_for(sf_dir)
+    never silently lost).  ORACLED over the exported turns view (pinned
+    tier): the SQL re-aggregates the exported span-kind char sums and
+    mirrors the float score expressions verbatim."""
+    from .turn_oracle import ORACLE_TIER, ensure_export
+    ensure_export()
+    turns = build_turns_pipeline(read_transcripts(ORACLE_TIER))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows: dict[str, list[int]] = {}
@@ -599,4 +608,119 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, payload_class,
 FROM read_parquet('{turns_parquet()}')
 ORDER BY chars_removed DESC, conv_id, turn_idx
 LIMIT 20
+"""
+
+
+def qa_quality_gate_sql(max_content_drop: float = 0.15) -> str:
+    from .turn_oracle import turns_parquet
+    return f"""
+WITH t AS (
+  SELECT payload_class, disc_chars, sanc_chars, lowconf_chars, dup_chars,
+         greatest(disc_chars - sanc_chars - content_chars, 0) AS unsanc
+  FROM read_parquet('{turns_parquet()}')),
+agg AS (
+  SELECT payload_class, count(*) AS n_turns,
+         CAST(sum(disc_chars) AS BIGINT) AS discovered,
+         CAST(sum(lowconf_chars) AS BIGINT) AS lowconf_chars,
+         CAST(sum(dup_chars) AS BIGINT) AS dup_chars,
+         CAST(sum(unsanc) AS BIGINT) AS unsanctioned,
+         CAST(sum(CASE WHEN disc_chars > 0 AND
+                       CAST(unsanc AS DOUBLE) / CAST(disc_chars AS DOUBLE)
+                       > {max_content_drop} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_problem
+  FROM t GROUP BY payload_class),
+f AS (
+  SELECT payload_class, n_turns, n_problem,
+         greatest(CAST(discovered AS DOUBLE), 1.0) AS disc,
+         lowconf_chars, dup_chars, unsanctioned
+  FROM agg)
+SELECT payload_class, n_turns, n_problem,
+       1.0 - lowconf_chars / disc AS conf_health,
+       1.0 - dup_chars / disc AS cleanliness,
+       1.0 - unsanctioned / disc AS preservation,
+       0.4 * (1.0 - lowconf_chars / disc)
+       + 0.3 * (1.0 - dup_chars / disc)
+       + 0.3 * (1.0 - unsanctioned / disc) AS composite_score
+FROM f
+"""
+
+
+def qa_against_expected_sql() -> str:
+    from .turn_oracle import expected_glob, turns_parquet
+    return f"""
+WITH j AS (
+  SELECT t.text_extracted AS got, e.expected_main AS want
+  FROM read_parquet('{turns_parquet()}') t
+  JOIN read_parquet('{expected_glob()}') e
+    USING (conv_id, turn_idx)),
+s AS (
+  SELECT got, want,
+         CASE WHEN got = want THEN 0.0
+              WHEN want = '' THEN 1.0
+              ELSE CAST(levenshtein(want, got) AS DOUBLE)
+                   / CAST(length(want) AS DOUBLE) END AS cer
+  FROM j)
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN got <> want THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(coalesce(sum(cer), 0.0) AS DOUBLE) AS sum_cer,
+       CAST(coalesce(max(cer), 0.0) AS DOUBLE) AS max_cer
+FROM s
+"""
+
+
+def payload_coverage_digest(sf_dir: str, grid: int = 8):
+    """Compact comparable face of the coverage grid (G9): per page,
+    total block-cell hits + md5 of the flattened int64 grid.  The Ray
+    side recomputes the grids from raw payloads; the oracle reads the
+    sequential-oracle export — a green row is grid-bit-level parity."""
+    import hashlib
+
+    from ..functions.pdfblocks import is_pdf_payload, parse_payload
+    from .turn_oracle import ORACLE_TIER, ensure_export
+
+    ensure_export()
+    ds = read_transcripts(ORACLE_TIER)
+
+    def digests(df: pd.DataFrame) -> pd.DataFrame:
+        convs, turns, pages, hits, md5s = [], [], [], [], []
+        for conv, tix, text, tool in zip(df["conv_id"], df["turn_idx"],
+                                         df["text"], df["tool"]):
+            if not tool or not isinstance(text, str) or \
+                    not is_pdf_payload(text):
+                continue
+            kept, _low, pdims = parse_payload(text)
+            by_page: dict[int, np.ndarray] = {}
+            for b in kept:
+                w, h = pdims.get(b.page, (800.0, 1000.0))
+                g = by_page.setdefault(b.page,
+                                       np.zeros((grid, grid), np.int64))
+                x0 = int(np.clip(b.x0 / w * grid, 0, grid - 1))
+                x1 = int(np.clip((b.x1 - 1e-9) / w * grid, 0, grid - 1))
+                y0 = int(np.clip(b.y0 / h * grid, 0, grid - 1))
+                y1 = int(np.clip((b.y1 - 1e-9) / h * grid, 0, grid - 1))
+                g[y0:y1 + 1, x0:x1 + 1] += 1
+            for page in sorted(by_page):
+                g = by_page[page]
+                convs.append(conv)
+                turns.append(int(tix))
+                pages.append(page)
+                hits.append(int(g.sum()))
+                md5s.append(hashlib.md5(g.tobytes()).hexdigest())
+        return pd.DataFrame({
+            "conv_id": pd.Series(convs, dtype=object),
+            "turn_idx": np.array(turns, dtype=np.int32),
+            "page": np.array(pages, dtype=np.int32),
+            "total_hits": np.array(hits, dtype=np.int64),
+            "coverage_md5": pd.Series(md5s, dtype=object)})
+
+    return ds.map_batches(digests, batch_format="pandas")
+
+
+def payload_coverage_digest_sql() -> str:
+    from .turn_oracle import coverage_parquet
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(page AS INT) AS page, total_hits, coverage_md5
+FROM read_parquet('{coverage_parquet()}')
 """

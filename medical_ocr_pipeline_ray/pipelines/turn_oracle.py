@@ -37,7 +37,7 @@ from ..config import DEFAULT_EXTRACT, ExtractConfig
 from ..synth import GEN_VERSION, TIERS, materialize_tier
 
 ORACLE_TIER = "t1"
-EXPORT_VERSION = "e2"      # e2: + raw_chars / span_chars / blocks_dropped_dup
+EXPORT_VERSION = "e3"      # e3: + span-kind char sums, coverage digests
 
 _ROOT = "/tmp/mopr_turns_oracle"
 
@@ -59,6 +59,18 @@ def variants_parquet() -> str:
     return os.path.join(export_dir(), "variants.parquet")
 
 
+def coverage_parquet() -> str:
+    return os.path.join(export_dir(), "coverage.parquet")
+
+
+def expected_glob() -> str:
+    """The synth tier's expected-text sidecar (generator ground truth) —
+    already parquet on disk; the qa_against_expected oracle joins it
+    directly."""
+    return os.path.join(materialize_tier(ORACLE_TIER),
+                        "expected", "*.parquet")
+
+
 def _raw_rows() -> list[dict]:
     tdir = os.path.join(materialize_tier(ORACLE_TIER), "transcripts")
     rows: list[dict] = []
@@ -73,6 +85,7 @@ def _build_export(out: str) -> None:
     from ..functions.pdfblocks import (extract_pdf_payload, is_pdf_payload,
                                        parse_payload)
     from ..oracle import oracle_extract_turns
+    from .qa import _SANCTIONED_KINDS as _SANCTIONED
 
     rows = _raw_rows()
 
@@ -97,6 +110,20 @@ def _build_export(out: str) -> None:
         "content_chars": pa.array(tdf["content_chars"].astype(np.int64)),
         "raw_chars": pa.array(raw_chars),
         "span_chars": pa.array(span_chars),
+        "disc_chars": pa.array(np.array(
+            [sum(s["end"] - s["start"] for s in sp) if sp else 0
+             for sp in tdf["spans"]], dtype=np.int64)),
+        "sanc_chars": pa.array(np.array(
+            [sum(s["end"] - s["start"] for s in sp
+                 if s["kind"] in _SANCTIONED)
+             if sp else 0 for sp in tdf["spans"]], dtype=np.int64)),
+        "lowconf_chars": pa.array(np.array(
+            [sum(s["end"] - s["start"] for s in sp
+                 if s["kind"] == "lowconf")
+             if sp else 0 for sp in tdf["spans"]], dtype=np.int64)),
+        "dup_chars": pa.array(np.array(
+            [sum(s["end"] - s["start"] for s in sp if s["kind"] == "dup")
+             if sp else 0 for sp in tdf["spans"]], dtype=np.int64)),
     }), os.path.join(out, "turns.parquet"))
 
     # 2) per-block stats of every tool-payload turn (engine comparison
@@ -138,6 +165,42 @@ def _build_export(out: str) -> None:
         "blocks_kept": pa.array(np.array(v_kept, dtype=np.int32)),
         "content_chars": pa.array(np.array(v_chars, dtype=np.int32)),
     }), os.path.join(out, "variants.parquet"))
+
+    # 4) per-page coverage-grid digests (G9 coverage mask): md5 over the
+    #    flattened grid bytes + total hits — the compact comparable face
+    #    of the tensor column
+    import hashlib as _h
+    c_conv, c_turn, c_page, c_hits, c_md5 = [], [], [], [], []
+    grid = 8
+    for r in rows:
+        text, tool = r.get("text"), r.get("tool", "")
+        if not tool or not isinstance(text, str) or not is_pdf_payload(text):
+            continue
+        kept, _low, pdims = parse_payload(text)
+        by_page: dict[int, np.ndarray] = {}
+        for b in kept:
+            w, h = pdims.get(b.page, (800.0, 1000.0))
+            g = by_page.setdefault(b.page,
+                                   np.zeros((grid, grid), np.int64))
+            x0 = int(np.clip(b.x0 / w * grid, 0, grid - 1))
+            x1 = int(np.clip((b.x1 - 1e-9) / w * grid, 0, grid - 1))
+            y0 = int(np.clip(b.y0 / h * grid, 0, grid - 1))
+            y1 = int(np.clip((b.y1 - 1e-9) / h * grid, 0, grid - 1))
+            g[y0:y1 + 1, x0:x1 + 1] += 1
+        for page in sorted(by_page):
+            g = by_page[page]
+            c_conv.append(r["conv_id"])
+            c_turn.append(int(r["turn_idx"]))
+            c_page.append(page)
+            c_hits.append(int(g.sum()))
+            c_md5.append(_h.md5(g.tobytes()).hexdigest())
+    pq.write_table(pa.table({
+        "conv_id": pa.array(c_conv, pa.string()),
+        "turn_idx": pa.array(np.array(c_turn, dtype=np.int32)),
+        "page": pa.array(np.array(c_page, dtype=np.int32)),
+        "total_hits": pa.array(np.array(c_hits, dtype=np.int64)),
+        "coverage_md5": pa.array(c_md5, pa.string()),
+    }), os.path.join(out, "coverage.parquet"))
 
 
 def ensure_export() -> str:

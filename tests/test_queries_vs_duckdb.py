@@ -100,6 +100,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "extract_turns_oracled", "assemble_conversations_oracled",
     "qa_turn_metrics", "qa_content_accounting",
     "topk_boilerplate_turns", "approx_value_quantiles",
+    "qa_quality_gate", "qa_against_expected", "payload_coverage_digest",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -119,8 +120,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
                "knn_lsh", "knn_ivf", "knn_ivf_pruned",
                "embedding_near_dup", "multimodal_features",
                "multimodal_resize", "multimodal_frame_sample",
-               "sample_events", "qa_against_expected",
-               "qa_quality_gate", "payload_coverage_grid",
+               "sample_events", "payload_coverage_grid",
                "doc_tfidf_top_terms"}
     assert set(queries()) == set(oracle_sql()) | non_sql
 
