@@ -66,8 +66,11 @@ def qa_content_accounting(sf_dir: str):
     """Raw chars vs extracted chars vs span-accounted chars per class —
     the content-drop gate's inputs (reference max_content_drop=0.15,
     qa_pipeline_evaluator.py:717-768; here boilerplate classes legitimately
-    shrink, but tagged spans must account for the raw text)."""
-    ds = read_transcripts(tier_for_sf_dir(sf_dir))
+    shrink, but tagged spans must account for the raw text).  ORACLED
+    over the exported turns view (pinned tier)."""
+    from .turn_oracle import ORACLE_TIER, ensure_export
+    ensure_export()
+    ds = read_transcripts(ORACLE_TIER)
     turns = build_turns_pipeline(ds)
     # raw lengths come from the input; join-free: recompute in the same
     # pipeline by carrying text length through extraction is not possible
