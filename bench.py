@@ -96,6 +96,8 @@ BENCH_QUERIES = (
     # joins the permanent subset alongside q5/q10/corpus_build_pipeline —
     # the expensive shapes stay benchmarked every round
     "dedup_pipeline",
+    "q18_large_orders",
+    "q7_nation_volume",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and
