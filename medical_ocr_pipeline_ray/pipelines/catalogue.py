@@ -315,6 +315,10 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_resize": multimodal.multimodal_resize,
         "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+        # decoded-PIXEL histogram with an ANALYTIC SQL oracle (the synth
+        # pixel field is closed-form integer math): decode parity as a
+        # driver row
+        "multimodal_pixel_hist": multimodal.multimodal_pixel_hist,
     }
 
 
@@ -411,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "qa_quality_gate": qa.qa_quality_gate_sql(),
         "qa_against_expected": qa.qa_against_expected_sql(),
         "payload_coverage_digest": qa.payload_coverage_digest_sql(),
+        "multimodal_pixel_hist": multimodal.MULTIMODAL_PIXEL_SQL,
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

@@ -330,3 +330,64 @@ def multimodal_frame_sample(sf_dir: str, frame_bytes: int = 512,
         })
 
     return media.map_batches(sample, batch_format="pyarrow", batch_size=32)
+
+
+def multimodal_pixel_hist(sf_dir: str):
+    """Decoded-PIXEL luma histogram per image doc, exploded to
+    (doc_id, bin, n) rows — and EXACTLY SQL-oracled: the synth image is
+    a closed-form integer pixel field (``_synth_rgb``), so the oracle
+    recomputes every luma value analytically with pure integer math
+    while the Ray side DECODES THE PPM BYTES through the real kernel.
+    A green driver row is bit-level decode+grayscale parity."""
+    media = synth_media(sf_dir)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        ids_out, bins_out, ns_out = [], [], []
+        for did, mt, buf in zip(batch["doc_id"].to_pylist(),
+                                batch["media_type"].to_pylist(),
+                                batch["payload"]):
+            if mt != "image/x-portable-pixmap":
+                continue
+            gray = ppm_grayscale(decode_ppm(buf.as_py())).ravel()
+            h, _ = np.histogram(gray, bins=np.arange(0, 257, 16))
+            ids_out.extend([did] * 16)
+            bins_out.extend(range(16))
+            ns_out.extend(int(x) for x in h)
+        return pa.table({
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "bin": pa.array(bins_out, pa.int32()),
+            "n": pa.array(ns_out, pa.int64())})
+
+    return media.map_batches(hist, batch_format="pyarrow", batch_size=64)
+
+
+# Analytic oracle: regenerate every pixel's luma with the synth formula
+# (base = (3x + 7y + id) % 256; RGB channels derived; ITU-R 601-2 luma
+# with integer truncation) and histogram it — all integer math, so the
+# comparison is exact.  Image docs are doc_id % 3 != 0; geometry is the
+# metadata formula (w = 64 + (id%8)*32, h = 64 + (id%5)*32).
+MULTIMODAL_PIXEL_SQL = """
+WITH img AS (
+  SELECT doc_id, 64 + (doc_id % 8) * 32 AS w, 64 + (doc_id % 5) * 32 AS h
+  FROM documents WHERE doc_id % 3 <> 0),
+px AS (
+  SELECT doc_id,
+         unnest(generate_series(0, w * h - 1)) AS i, w
+  FROM img),
+luma AS (
+  SELECT doc_id,
+         (299 * ((3 * (i % w) + 7 * (i // w) + doc_id) % 256)
+          + 587 * ((2 * ((3 * (i % w) + 7 * (i // w) + doc_id) % 256)
+                    + 13) % 256)
+          + 114 * ((5 * ((3 * (i % w) + 7 * (i // w) + doc_id) % 256)
+                    + doc_id) % 256)) // 1000 AS l
+  FROM px),
+binned AS (
+  SELECT doc_id, CAST(l // 16 AS INT) AS bin, count(*) AS cnt
+  FROM luma GROUP BY doc_id, l // 16)
+SELECT doc_id, bin, CAST(coalesce(cnt, 0) AS BIGINT) AS n
+FROM (SELECT doc_id FROM img) CROSS JOIN
+     (SELECT unnest(generate_series(0, 15)) AS bin)
+LEFT JOIN binned USING (doc_id, bin)
+ORDER BY doc_id, bin
+"""
