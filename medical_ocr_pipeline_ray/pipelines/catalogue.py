@@ -270,6 +270,7 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": relational.q7_nation_volume,
         "events_retention_7d": relational.events_retention_7d,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
+        "customer_order_counts": relational.customer_order_counts,
         "doc_c4_line_filter": textops.doc_c4_line_filter,
         # flagship-as-oracled (pinned tier, sequential-oracle export):
         # a green row IS the per-turn / per-conversation parity claim
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": relational.Q7_SQL,
         "events_retention_7d": relational.EVENTS_RETENTION_SQL,
         "part_cheapest_supplier": relational.PART_CHEAPEST_SQL,
+        "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
         "doc_c4_line_filter": textops.DOC_C4_LINE_SQL,
         "extract_turns_oracled": turn_oracle.extract_turns_sql(),
         "assemble_conversations_oracled":

@@ -3419,3 +3419,71 @@ FROM u
 QUALIFY row_number() OVER (PARTITION BY l_partkey
                            ORDER BY unit, l_suppkey) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join with zero-preserving aggregates: every customer with
+# its order count and revenue — including customers with NO orders
+# (the join-family member semi/anti/inner/full-outer didn't cover).
+# One bucketed exchange on custkey: orders pre-combine per (custkey) in
+# the batch map, customers carry identity rows, the bucket fold emits
+# one row per customer with COALESCE-zero aggregates.
+# ---------------------------------------------------------------------------
+
+def customer_order_counts(sf_dir: str, n_buckets: int | None = None):
+    """(c_custkey, c_mktsegment, n_orders, total_price) for EVERY
+    customer — zero rows preserved."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "orders"))
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def o_part(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"ckey": df["o_custkey"].to_numpy(np.int64),
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "price_c": _cents(df["o_totalprice"])})
+        g = t.groupby("ckey", as_index=False).sum()      # map-side combine
+        return pd.DataFrame({
+            "bucket": (g["ckey"].to_numpy() % n_b).astype(np.int32),
+            "ckey": g["ckey"].to_numpy(np.int64),
+            "n": g["n"].to_numpy(np.int64),
+            "price_c": g["price_c"].to_numpy(np.int64),
+            "seg": np.full(len(g), "", dtype=object),
+            "side": np.zeros(len(g), dtype=np.int8)})
+
+    def c_part(df: pd.DataFrame) -> pd.DataFrame:
+        ckey = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (ckey % n_b).astype(np.int32),
+            "ckey": ckey,
+            "n": np.zeros(len(df), dtype=np.int64),
+            "price_c": np.zeros(len(df), dtype=np.int64),
+            "seg": df["c_mktsegment"].astype(object),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    both = orders.map_batches(o_part, batch_format="pandas").union(
+        cust.map_batches(c_part, batch_format="pandas"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0].groupby("ckey")[["n", "price_c"]].sum()
+        c = g[g["side"] == 1]
+        n = c["ckey"].map(o["n"]).fillna(0).astype(np.int64)
+        p = c["ckey"].map(o["price_c"]).fillna(0).astype(np.int64)
+        return pd.DataFrame({
+            "c_custkey": c["ckey"].to_numpy(np.int64),
+            "c_mktsegment": c["seg"].to_numpy(),
+            "n_orders": n.to_numpy(),
+            "total_price": p.to_numpy(np.float64) / 100.0})
+
+    return both.groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(coalesce(count(o_custkey), 0) AS BIGINT) AS n_orders,
+       coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+         / 100.0 AS total_price
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
