@@ -234,3 +234,36 @@ def test_events_outliers_degenerate_variance(ray_session, tmp_path):
         .sort_values("event_id").reset_index(drop=True)
     _compare("events_outliers_degenerate", got, want)
     assert list(got["event_id"]) == [41]     # only the spike survives
+
+
+def test_customer_order_counts_preserves_zero_order_customers(
+        ray_session, tmp_path):
+    """The sf corpora happen to give every customer at least one order,
+    so the LEFT-join zero path needs an explicit fixture: a customer
+    with no orders must surface with n_orders = 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_ocr_pipeline_ray.pipelines.relational import (
+        CUSTOMER_ORDER_COUNTS_SQL, customer_order_counts)
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_mktsegment": pa.array(["A", "B", "A"])}),
+        f"{d}/customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_totalprice": pa.array([10.50, 4.25, 7.00])}),
+        f"{d}/orders.parquet")
+    got = customer_order_counts(d, n_buckets=4).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    assert got["n_orders"].tolist() == [2, 0, 1]
+    assert got["total_price"].tolist() == [14.75, 0.0, 7.0]
+    c = duckdb.connect()
+    for t in ("customer", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{d}/{t}.parquet')")
+    want = c.execute(CUSTOMER_ORDER_COUNTS_SQL).df() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    _compare("customer_order_counts_zero", got, want)
