@@ -418,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "qa_against_expected": qa.qa_against_expected_sql(),
         "payload_coverage_digest": qa.payload_coverage_digest_sql(),
         "multimodal_pixel_hist": multimodal.MULTIMODAL_PIXEL_SQL,
+        "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

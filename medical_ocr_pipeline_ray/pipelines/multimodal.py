@@ -258,7 +258,10 @@ class MediaResizer:
             "height": batch["height"],
             "out_w": pa.array(out_w),
             "out_h": pa.array(out_h),
-            "scale": pa.array(np.round(scale, 6)),
+            # exact-integer micros (not a rounded float): the geometry
+            # domain has no half-boundary cases (checked exhaustively),
+            # so np.rint == SQL round and the oracle is bit-exact
+            "scale_u": pa.array(np.rint(scale * 1e6).astype(np.int64)),
         }
         if self.resample:
             resized = []
@@ -390,4 +393,27 @@ FROM (SELECT doc_id FROM img) CROSS JOIN
      (SELECT unnest(generate_series(0, 15)) AS bin)
 LEFT JOIN binned USING (doc_id, bin)
 ORDER BY doc_id, bin
+"""
+
+
+# Analytic oracle for the resize GEOMETRY (aspect-preserving long-side
+# clamp): metadata dims are closed-form in doc_id; no half-boundary
+# rounding cases exist in this domain (verified exhaustively), so
+# round() mirrors np.rint bit-for-bit.
+MULTIMODAL_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         64 + (doc_id % 8) * 32 AS width,
+         64 + (doc_id % 5) * 32 AS height
+  FROM documents),
+s AS (
+  SELECT doc_id, width, height,
+         least(1.0, 96.0 / greatest(CAST(greatest(width, height)
+                                         AS DOUBLE), 1.0)) AS scale
+  FROM m)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(round(width * scale) AS INT) AS out_w,
+       CAST(round(height * scale) AS INT) AS out_h,
+       CAST(round(scale * 1000000) AS BIGINT) AS scale_u
+FROM s
 """

@@ -102,6 +102,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "topk_boilerplate_turns", "approx_value_quantiles",
     "qa_quality_gate", "qa_against_expected", "payload_coverage_digest",
     "multimodal_pixel_hist", "customer_order_counts",
+    "multimodal_resize",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
@@ -120,7 +121,7 @@ def test_all_queries_have_oracle_or_are_listed(ray_session):
                "dedup_simhash", "dedup_clusters", "dedup_pipeline",
                "knn_lsh", "knn_ivf", "knn_ivf_pruned",
                "embedding_near_dup", "multimodal_features",
-               "multimodal_resize", "multimodal_frame_sample",
+               "multimodal_frame_sample",
                "sample_events", "payload_coverage_grid",
                "doc_tfidf_top_terms"}
     assert set(queries()) == set(oracle_sql()) | non_sql
