@@ -278,6 +278,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "payload_coverage_digest": qa.payload_coverage_digest,
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_oracled,
+        "assemble_documents_oracled":
+            documents.assemble_documents_oracled,
         "events_gap_stats": relational.events_gap_stats,
         "events_funnel": relational.events_funnel,
         "supplier_topk_per_nation": relational.supplier_topk_per_nation,
@@ -419,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_coverage_digest": qa.payload_coverage_digest_sql(),
         "multimodal_pixel_hist": multimodal.MULTIMODAL_PIXEL_SQL,
         "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
+        "assemble_documents_oracled": documents.assemble_documents_sql(),
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

@@ -171,3 +171,30 @@ def oracle_assemble_documents(rows: list[dict]) -> pd.DataFrame:
         recs.append({"conv_id": conv, "n_sources": len(parts),
                      "doc_json": doc_to_json(fold_docs(parts))})
     return pd.DataFrame(recs)
+
+
+def assemble_documents_oracled(sf_dir: str):
+    """The document-assembly fold as a driver-oracled row: the full Ray
+    pipeline (per-turn extraction → salted two-phase merge fold) over
+    the pinned tier, compared as canonical JSON against the sequential
+    fold exported by turn_oracle — a green row IS the merge fold's
+    associativity claim (the nested-Arrow projection is exercised by
+    ``assemble_documents``/pytest; JSON is the comparable face)."""
+    from ..sources.transcripts import read_transcripts
+    from .turn_oracle import ORACLE_TIER, ensure_export
+
+    ensure_export()
+    turns = build_turns_pipeline(read_transcripts(ORACLE_TIER))
+    partials = turns.map_batches(_partials_batch, batch_format="pandas")
+    per_salt = partials.groupby(["bucket", "salt"]).map_groups(
+        _fold_salt_group, batch_format="pandas")
+    return per_salt.groupby("bucket").map_groups(
+        _fold_final_group, batch_format="pandas")
+
+
+def assemble_documents_sql() -> str:
+    from .turn_oracle import documents_parquet
+    return f"""
+SELECT conv_id, n_sources, doc_json
+FROM read_parquet('{documents_parquet()}')
+"""

@@ -37,7 +37,7 @@ from ..config import DEFAULT_EXTRACT, ExtractConfig
 from ..synth import GEN_VERSION, TIERS, materialize_tier
 
 ORACLE_TIER = "t1"
-EXPORT_VERSION = "e3"      # e3: + span-kind char sums, coverage digests
+EXPORT_VERSION = "e4"      # e4: + merged schema-documents view
 
 _ROOT = "/tmp/mopr_turns_oracle"
 
@@ -61,6 +61,10 @@ def variants_parquet() -> str:
 
 def coverage_parquet() -> str:
     return os.path.join(export_dir(), "coverage.parquet")
+
+
+def documents_parquet() -> str:
+    return os.path.join(export_dir(), "documents.parquet")
 
 
 def expected_glob() -> str:
@@ -201,6 +205,16 @@ def _build_export(out: str) -> None:
         "total_hits": pa.array(np.array(c_hits, dtype=np.int64)),
         "coverage_md5": pa.array(c_md5, pa.string()),
     }), os.path.join(out, "coverage.parquet"))
+
+    # 5) merged schema documents via the sequential fold (associativity
+    #    ground truth for the salted two-phase document assembly)
+    from .documents import oracle_assemble_documents
+    ddf = oracle_assemble_documents(rows)
+    pq.write_table(pa.table({
+        "conv_id": pa.array(ddf["conv_id"], pa.string()),
+        "n_sources": pa.array(ddf["n_sources"].astype(np.int64)),
+        "doc_json": pa.array(ddf["doc_json"], pa.string()),
+    }), os.path.join(out, "documents.parquet"))
 
 
 def ensure_export() -> str:
