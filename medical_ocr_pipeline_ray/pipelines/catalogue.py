@@ -312,6 +312,9 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "knn_ivf_pruned": similarity.knn_ivf_pruned,
+        # ANN accuracy as a driver row: brute-force exact top-k + per-
+        # index recall@k gates (tolerance-gate pattern for retrieval)
+        "knn_recall_gate": similarity.knn_recall_gate,
         "embedding_near_dup": similarity.embedding_near_dup,
         # multimodal plumbing (decode/feature/resize/frame-sample stages;
         # pixel kernels stubbed, Ray plumbing real)
@@ -422,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pixel_hist": multimodal.MULTIMODAL_PIXEL_SQL,
         "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
         "assemble_documents_oracled": documents.assemble_documents_sql(),
+        "knn_recall_gate": similarity.KNN_RECALL_GATE_SQL,
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

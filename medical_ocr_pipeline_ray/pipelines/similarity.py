@@ -615,3 +615,48 @@ SELECT CAST(label AS BIGINT) AS pred_label,
 FROM top GROUP BY label
 ORDER BY n_votes DESC, pred_label LIMIT 1
 """
+
+
+def knn_recall_gate(sf_dir: str, k: int = 10,
+                    min_recall_lsh: float = 0.5,
+                    min_recall_ivf: float = 0.3):
+    """The ANN family's accuracy claim as a driver-oracled row (the
+    sketch tolerance-gate pattern applied to retrieval): the exact
+    brute-force top-k PLUS per-approximate-index recall@k flags.  The
+    SQL oracle recomputes the exact top-k and asserts every flag TRUE —
+    an index whose recall drifts under its verified floor turns the
+    driver row red instead of passing silently behind a pytest
+    threshold.  Floors match each index's documented claim on random
+    gaussian corpora (the ADVERSARIAL case for ANN — true neighbors
+    barely correlated): hyperplane LSH ≥ 0.5, IVF nprobe/K = 1/4 of the
+    corpus ≥ 0.3; real-embedding clustered corpora sit far higher."""
+    brute = knn_brute_force(sf_dir, k)
+    exact = set(int(v) for v in brute["vec_id"])
+
+    def ok(approx_df, floor: float) -> bool:
+        got = set(int(v) for v in approx_df["vec_id"])
+        return len(got & exact) / float(k) >= floor
+
+    lsh_ok = ok(knn_lsh(sf_dir, k), min_recall_lsh)
+    ivf_ok = ok(knn_ivf(sf_dir, k), min_recall_ivf)
+    pruned_ok = ok(knn_ivf_pruned(sf_dir, k), min_recall_ivf)
+    out = brute.copy()
+    out["lsh_recall_ok"] = bool(lsh_ok)
+    out["ivf_recall_ok"] = bool(ivf_ok)
+    out["ivf_pruned_recall_ok"] = bool(pruned_ok)
+    return out
+
+
+KNN_RECALL_GATE_SQL = """
+SELECT CAST(row_number() OVER (
+         ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+            WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC,
+         vec_id) AS BIGINT) AS rank,
+       vec_id,
+       TRUE AS lsh_recall_ok,
+       TRUE AS ivf_recall_ok,
+       TRUE AS ivf_pruned_recall_ok
+FROM embeddings
+QUALIFY rank <= 10
+"""
