@@ -305,6 +305,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_pipeline": dedup.dedup_pipeline,
+        # planted-twin recall of the sketch family as a driver gate
+        "dedup_recall_gate": dedup.dedup_recall_gate,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_range_search": similarity.knn_range_search,
@@ -426,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
         "assemble_documents_oracled": documents.assemble_documents_sql(),
         "knn_recall_gate": similarity.KNN_RECALL_GATE_SQL,
+        "dedup_recall_gate": dedup.DEDUP_RECALL_GATE_SQL,
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

@@ -912,3 +912,124 @@ def dedup_pipeline(sf_dir: str, n_buckets: int | None = None,
         return pd.DataFrame({"doc_id": keep.to_numpy(np.int64)})
 
     return both.groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
+def dedup_recall_gate(sf_dir: str, strong_jaccard: float = 0.9,
+                      min_recall: float = 0.95,
+                      n_buckets: int | None = None):
+    """The dedup family's recall claim as a driver-oracled row (the
+    tolerance-gate pattern): count the STRONG planted near-twins (the
+    ``did % 10 == 0`` suffix twins whose true 3-shingle jaccard ≥ 0.9 —
+    exactly SQL-recomputable) and flag whether (a) MinHash-LSH surfaced
+    ≥ ``min_recall`` of them as verified pairs and (b) the end-to-end
+    ``dedup_pipeline`` removed ≥ ``min_recall`` of the twin ids.  The
+    oracle recomputes the exact strong-twin count and asserts both flags
+    TRUE — sketch/recall drift turns the driver row red.
+
+    Scale shape: the strong set, the found pairs and the survivor set
+    are all joined via ONE bucketed exchange on the twin id (side-tagged
+    union + per-bucket set probes) — no driver-side membership sets."""
+    p = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
+
+    def strong_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, t in zip(df["doc_id"], df["text"]):
+            if did % 10:
+                continue
+            s1 = shingles(t, 3)
+            s2 = shingles(t + NEAR_SUFFIX, 3)
+            if not s1 and not s2:
+                j = 1.0
+            elif not s1 or not s2:
+                j = 0.0
+            else:
+                j = len(s1 & s2) / len(s1 | s2)
+            if j >= strong_jaccard:
+                out.append(int(did) + 1_000_000)       # the twin id
+        return pd.DataFrame({
+            "tid": np.array(out, dtype=np.int64),
+            "side": np.zeros(len(out), dtype=np.int8)})
+
+    strong = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(strong_rows, batch_format="pandas")
+
+    def found_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # a planted twin pair is (did, did + 1_000_000)
+        m = (df["doc_b"].to_numpy(np.int64)
+             - df["doc_a"].to_numpy(np.int64)) == 1_000_000
+        return pd.DataFrame({
+            "tid": df["doc_b"].to_numpy(np.int64)[m],
+            "side": np.ones(int(m.sum()), dtype=np.int8)})
+
+    found = dedup_minhash_lsh(sf_dir).map_batches(
+        found_rows, batch_format="pandas")
+
+    def survivor_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tid": df["doc_id"].to_numpy(np.int64),
+            "side": np.full(len(df), 2, dtype=np.int8)})
+
+    survivors = dedup_pipeline(sf_dir).map_batches(
+        survivor_rows, batch_format="pandas")
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(df["tid"].to_numpy() % p).astype(np.int32))
+
+    both = strong.union(found, survivors).map_batches(
+        key, batch_format="pandas")
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        s = set(g.loc[g["side"] == 0, "tid"].astype(int))
+        f = set(g.loc[g["side"] == 1, "tid"].astype(int))
+        alive = set(g.loc[g["side"] == 2, "tid"].astype(int))
+        return pd.DataFrame([{
+            "n_strong": np.int64(len(s)),
+            "n_found": np.int64(len(s & f)),
+            "n_removed": np.int64(len(s - alive))}])
+
+    agg = both.groupby("bucket").map_groups(
+        probe, batch_format="pandas").to_pandas().sum()
+    n_strong = max(int(agg["n_strong"]), 1)
+    return pd.DataFrame([{
+        "n_strong_twins": np.int64(agg["n_strong"]),
+        "minhash_recall_ok":
+            bool(int(agg["n_found"]) / n_strong >= min_recall),
+        "pipeline_removal_ok":
+            bool(int(agg["n_removed"]) / n_strong >= min_recall)}])
+
+
+# Exact strong-twin count (the same 3-shingle jaccard the python side
+# computes — len/len double division is bit-equal) + the recall flags
+# asserted TRUE.
+DEDUP_RECALL_GATE_SQL = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w1,
+         regexp_extract_all(lower(text || '{NEAR_SUFFIX}'), '[a-z0-9]+')
+           AS w2
+  FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT CASE WHEN len(w1) = 0 THEN []::VARCHAR[]
+              WHEN len(w1) < 3 THEN [array_to_string(w1, ' ')]
+              ELSE list_distinct(list_transform(
+                  generate_series(1, len(w1) - 2),
+                  i -> w1[i] || ' ' || w1[i+1] || ' ' || w1[i+2])) END AS s1,
+         CASE WHEN len(w2) = 0 THEN []::VARCHAR[]
+              WHEN len(w2) < 3 THEN [array_to_string(w2, ' ')]
+              ELSE list_distinct(list_transform(
+                  generate_series(1, len(w2) - 2),
+                  i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) END AS s2
+  FROM t),
+j AS (
+  SELECT CASE WHEN len(s1) = 0 AND len(s2) = 0 THEN 1.0
+              WHEN len(s1) = 0 OR len(s2) = 0 THEN 0.0
+              ELSE CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+                   / CAST(len(list_distinct(s1 || s2)) AS DOUBLE) END
+           AS jac
+  FROM sh)
+SELECT CAST(count(*) AS BIGINT) AS n_strong_twins,
+       TRUE AS minhash_recall_ok,
+       TRUE AS pipeline_removal_ok
+FROM j WHERE jac >= 0.9
+"""
