@@ -151,3 +151,52 @@ def test_levenshtein_dialect_parity(a, b):
     con = duckdb.connect()
     want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
     assert _levenshtein(a, b) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 31))
+def test_ppm_roundtrip_property(w, h, seed):
+    """encode→decode is the identity for any uint8 RGB field, and the
+    grayscale matches the integer ITU-R 601-2 formula elementwise."""
+    import numpy as np
+
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        _encode_ppm, decode_ppm, ppm_grayscale)
+
+    rng = np.random.RandomState(seed % (2 ** 31))
+    rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    out = decode_ppm(_encode_ppm(rgb))
+    np.testing.assert_array_equal(out, rgb)
+    g = ppm_grayscale(out)
+    expect = ((299 * rgb[..., 0].astype(int)
+               + 587 * rgb[..., 1].astype(int)
+               + 114 * rgb[..., 2].astype(int)) // 1000)
+    np.testing.assert_array_equal(g.astype(int), expect)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(
+    alphabet=st.sampled_from(list(
+        "abcdefgh XYZ0123.!?\"'#-\t\n")), max_size=120))
+def test_c4_line_filter_dialect_parity(text):
+    """The C4 line-gating predicates (word count + terminal punctuation
+    after strip) agree between the Python kernel and the DuckDB oracle
+    expressions for adversarial whitespace/quote/newline mixes."""
+    import re
+
+    import duckdb
+
+    word_rx = re.compile(r"[A-Za-z0-9]+")
+    term_rx = re.compile(r'[.!?"]$')
+    ws = " \t\r\f\v"
+    py = [1 if (len(word_rx.findall(ln)) >= 2
+                and term_rx.search(ln.strip(ws))) else 0
+          for ln in text.split("\n")]
+    con = duckdb.connect()
+    sq = con.execute(
+        "SELECT list_transform(string_split(?, chr(10)), line -> "
+        "  CASE WHEN len(regexp_extract_all(line, '[A-Za-z0-9]+')) >= 2 "
+        "            AND regexp_matches(trim(line, e' \\t\\r\\f\\v'), "
+        "                               '[.!?\"]$') "
+        "       THEN 1 ELSE 0 END)", [text]).fetchone()[0]
+    assert py == sq
