@@ -634,6 +634,18 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, k: int = 3):
 # ---------------------------------------------------------------------------
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 6):
+    """SimHash near-dedup via 4×16-bit chunk blocking + Hamming verify.
+
+    PARTITIONING ASSUMPTION (documented saturation point): the chunk key
+    space is 4·2^16 ≈ 262k buckets, so average bucket size grows
+    LINEARLY with corpus size and every bucket goes hot past
+    ~MAX_BUCKET·2^16 docs (~4M) — chunk blocking is the small/medium-
+    corpus member of the family.  At web scale use ``dedup_minhash_lsh``
+    (64-bit band keys never saturate) or widen the chunks (2×32-bit
+    halves guarantee recall only for hamming ≤ 1; banded simhash with
+    rotations is the standard fix).  The hot-bucket cascade keeps this
+    operator CORRECT past the saturation point (bounded per-bucket
+    work), just not sub-quadratic in candidate volume."""
     aug = augmented_docs(sf_dir)
 
     def chunks(df: pd.DataFrame) -> pd.DataFrame:
