@@ -196,3 +196,28 @@ def test_resume_partition_exact(ray_session, tmp_path):
     pd.testing.assert_frame_equal(content(out_a), content(out_b))
     man_a, man_b = load_manifest(out_a), load_manifest(out_b)
     assert man_a == man_b
+
+
+def test_jsonl_source_extraction_parity(ray_session, tmp_path):
+    """The JSONL transcript source drives byte-identical extraction
+    output to the parquet source — same corpus, two interchange
+    formats, one pipeline."""
+    from medical_ocr_pipeline_ray.pipelines.extract_pipeline import \
+        build_turns_pipeline
+    from medical_ocr_pipeline_ray.sources.transcripts import (
+        read_transcripts, to_jsonl_shards, transcripts_dir)
+
+    jdir = to_jsonl_shards(transcripts_dir("t1"), str(tmp_path / "jsonl"))
+    cols = ["conv_id", "turn_idx", "payload_class", "text_extracted",
+            "blocks_kept", "blocks_dropped_dup", "content_chars"]
+    from medical_ocr_pipeline_ray.sources.transcripts import \
+        read_transcripts_jsonl
+    a = build_turns_pipeline(read_transcripts("t1")) \
+        .select_columns(cols).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = build_turns_pipeline(read_transcripts_jsonl(jdir)) \
+        .select_columns(cols).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in cols:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
