@@ -221,3 +221,17 @@ def test_jsonl_source_extraction_parity(ray_session, tmp_path):
     assert len(a) == len(b) > 0
     for c in cols:
         assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
+def test_empty_input_dir_raises_cleanly(ray_session, tmp_path):
+    """An input directory with no fragments fails loudly up front
+    (FileNotFoundError), never as a mid-pipeline mystery."""
+    import pytest as _pt
+
+    from medical_ocr_pipeline_ray.pipelines.extract_pipeline import \
+        run_extraction
+
+    empty = tmp_path / "no_fragments"
+    empty.mkdir()
+    with _pt.raises(FileNotFoundError):
+        run_extraction(str(empty), str(tmp_path / "out"))
