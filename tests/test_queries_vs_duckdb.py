@@ -269,3 +269,20 @@ def test_customer_order_counts_preserves_zero_order_customers(
     want = c.execute(CUSTOMER_ORDER_COUNTS_SQL).df() \
         .sort_values("c_custkey").reset_index(drop=True)
     _compare("customer_order_counts_zero", got, want)
+
+
+def test_correctness_board_first_50_all_oracled(ray_session):
+    """The driver's correctness gate checks only the first 50 queries()
+    entries — a catalogue edit must never push a no-oracle entry into
+    those slots (the exact round-3 regression: reordering silently
+    dropped 11 checked queries off the board)."""
+    from medical_ocr_pipeline_ray.pipelines.catalogue import (_BOARD,
+                                                              oracle_sql,
+                                                              queries)
+    names = list(queries())
+    sql = oracle_sql()
+    assert len(names) >= 50
+    missing = [n for n in names[:50] if n not in sql]
+    assert not missing, f"no-oracle entries occupy board slots: {missing}"
+    # the declared board IS the first 50, in order
+    assert names[:len(_BOARD)] == [n for n in _BOARD if n in set(names)]
