@@ -121,7 +121,8 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
                         n_coarse: int | None = None,
                         hot_mode: str = "star",
                         emit_hot_key: bool = False,
-                        only_hot_star: bool = False):
+                        only_hot_star: bool = False,
+                        payload_col: str | None = None):
     """bucket rows (key, doc_id) → candidate pairs (doc_a < doc_b).
 
     The shuffle key is a COARSE hash of the bucket key (Ray pays ~1 ms of
@@ -176,16 +177,24 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
 
     def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
         outs_a, outs_b, outs_h = [], [], []
+        outs_pa, outs_pb = [], []
         for _key, sub in g.groupby(key_col, sort=True):
-            ids = np.unique(sub["doc_id"].to_numpy().astype(np.int64))
+            docs = sub["doc_id"].to_numpy().astype(np.int64)
+            ids, first = np.unique(docs, return_index=True)
             if len(ids) < 2:
                 continue
+            if payload_col is not None:
+                pay = sub[payload_col].to_numpy().astype(np.int64)[first]
             hot = len(ids) > max_bucket
             if only_hot_star and not hot:
                 continue
             if hot and hot_mode == "star":
                 outs_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
                 outs_b.append(ids[1:])
+                if payload_col is not None:
+                    outs_pa.append(np.full(len(ids) - 1, pay[0],
+                                           dtype=np.int64))
+                    outs_pb.append(pay[1:])
                 if emit_hot_key:
                     outs_h.append(np.full(len(ids) - 1, np.int64(_key),
                                           dtype=np.int64))
@@ -199,16 +208,25 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
                 ia, ib = np.triu_indices(len(ids), k=1)
                 outs_a.append(ids[ia])
                 outs_b.append(ids[ib])
+                if payload_col is not None:
+                    outs_pa.append(pay[ia])
+                    outs_pb.append(pay[ib])
                 if emit_hot_key:
                     outs_h.append(np.full(n_pairs, -1, dtype=np.int64))
         if not outs_a:
             out = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                 "doc_b": pd.Series([], dtype=np.int64)})
+            if payload_col is not None:
+                out["pay_a"] = pd.Series([], dtype=np.int64)
+                out["pay_b"] = pd.Series([], dtype=np.int64)
             if emit_hot_key:
                 out["hot_key"] = pd.Series([], dtype=np.int64)
             return out
         out = pd.DataFrame({"doc_a": np.concatenate(outs_a),
                             "doc_b": np.concatenate(outs_b)})
+        if payload_col is not None:
+            out["pay_a"] = np.concatenate(outs_pa)
+            out["pay_b"] = np.concatenate(outs_pb)
         if emit_hot_key:
             out["hot_key"] = np.concatenate(outs_h)
         return out
@@ -633,8 +651,28 @@ def dedup_minhash_lsh(sf_dir: str, threshold: float = 0.8, k: int = 3):
 # SimHash near-dedup (chunk blocking + Hamming verify)
 # ---------------------------------------------------------------------------
 
+def _hamming_vec(a_i64: np.ndarray, b_i64: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance over int64 bit-views."""
+    if len(a_i64) == 0:
+        return np.array([], dtype=np.int64)
+    x = np.bitwise_xor(np.ascontiguousarray(a_i64).view(np.uint64),
+                       np.ascontiguousarray(b_i64).view(np.uint64))
+    bits = np.unpackbits(x.view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
+
 def dedup_simhash(sf_dir: str, max_hamming: int = 6):
     """SimHash near-dedup via 4×16-bit chunk blocking + Hamming verify.
+
+    SKETCH-RIDING VERIFY (round-4 rework): hamming verification needs
+    ONLY the 8-byte simhash, which is already computed in the keying
+    stage — so the hash rides the pairing exchange as a payload column
+    and verification is a stateless vectorized popcount map.  No corpus
+    text ever travels to a verify join: the plan is key (map) → pairing
+    groupby → popcount map → one slim pair-dedup exchange — two
+    exchanges total, versus the text-attach design's four.  Hot buckets
+    cascade LOCALLY on the same hashes (residual star per bucket, one
+    round per cluster, no corpus re-scan).
 
     PARTITIONING ASSUMPTION (documented saturation point): the chunk key
     space is 4·2^16 ≈ 262k buckets, so average bucket size grows
@@ -647,21 +685,83 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 6):
     operator CORRECT past the saturation point (bounded per-bucket
     work), just not sub-quadratic in candidate volume."""
     aug = augmented_docs(sf_dir)
+    p = buckets_for(table_bytes(sf_dir, "documents"))
 
     def chunks(df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.fingerprint import simhash64_batch
-        hs = simhash64_batch(list(df["text"]))          # vectorized batch
+        hs = simhash64_batch(list(df["text"]))          # (n,) uint64
+        h_i64 = np.ascontiguousarray(hs).view(np.int64)
         ids = np.repeat(df["doc_id"].to_numpy().astype(np.int64), 4)
-        # numeric chunk keys: chunk index in the low 2 bits
         parts = np.stack([((hs >> np.uint64(16 * c)) & np.uint64(0xFFFF))
                           .astype(np.int64) * 4 + c for c in range(4)],
                          axis=1)
         return pd.DataFrame({"chunk_key": parts.reshape(-1),
-                             "doc_id": ids})
+                             "doc_id": ids,
+                             "h": np.repeat(h_i64, 4)})
 
     keyed = aug.map_batches(chunks, batch_format="pandas", batch_size=512)
-    return _verify_with_rescue(keyed, "chunk_key", sf_dir, "hamming", 1,
-                               float(max_hamming))
+    cands = _pairs_from_buckets(keyed, "chunk_key", emit_hot_key=True,
+                                payload_col="h").materialize()
+
+    def verify_normal(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["hot_key"] < 0]
+        ham = _hamming_vec(d["pay_a"].to_numpy(np.int64),
+                           d["pay_b"].to_numpy(np.int64))
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "doc_a": d["doc_a"].to_numpy(np.int64)[keep],
+            "doc_b": d["doc_b"].to_numpy(np.int64)[keep],
+            "similarity": ham[keep].astype(np.float64)})
+
+    out = cands.map_batches(verify_normal, batch_format="pandas")
+
+    def count_hot(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int((df["hot_key"] >= 0).sum())]})
+
+    n_hot = cands.map_batches(count_hot, batch_format="pandas").sum("n")
+    if n_hot:
+        def only_hot(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["hot_key"] >= 0]
+
+        def cascade(g: pd.DataFrame) -> pd.DataFrame:
+            # star pairs share doc_a = the bucket rep; members =
+            # rep ∪ doc_bs, each with its hash riding the pair rows
+            ids = np.concatenate((
+                g["doc_a"].to_numpy(np.int64)[:1],
+                g["doc_b"].to_numpy(np.int64)))
+            hsv = np.concatenate((
+                g["pay_a"].to_numpy(np.int64)[:1],
+                g["pay_b"].to_numpy(np.int64)))
+            order = np.argsort(ids, kind="stable")
+            ids, hsv = ids[order], hsv[order]
+            keep_first = np.ones(len(ids), dtype=bool)
+            keep_first[1:] = ids[1:] != ids[:-1]
+            ids, hsv = ids[keep_first], hsv[keep_first]
+            residual = np.arange(len(ids))
+            oa, ob, os_ = [], [], []
+            for _ in range(RESCUE_MAX_CLUSTERS):
+                if len(residual) < 2:
+                    break
+                rep, rest = residual[0], residual[1:]
+                ham = _hamming_vec(np.full(len(rest), hsv[rep],
+                                           dtype=np.int64),
+                                   hsv[rest])
+                hit = ham <= max_hamming
+                oa.extend(int(ids[rep]) for _m in rest[hit])
+                ob.extend(int(ids[m]) for m in rest[hit])
+                os_.extend(float(x) for x in ham[hit])
+                residual = rest[~hit]
+            return pd.DataFrame({
+                "doc_a": np.array(oa, dtype=np.int64),
+                "doc_b": np.array(ob, dtype=np.int64),
+                "similarity": np.array(os_, dtype=np.float64)})
+
+        hot_pairs = cands.map_batches(only_hot, batch_format="pandas") \
+            .groupby("hot_key").map_groups(cascade, batch_format="pandas")
+        out = out.union(hot_pairs)
+    # a pair can surface from several chunk keys (and from both the
+    # normal and cascade paths) — one slim exchange collapses copies
+    return _dedup_pairs(out, p)
 
 
 # ---------------------------------------------------------------------------
