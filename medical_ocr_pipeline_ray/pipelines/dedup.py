@@ -26,12 +26,16 @@ external data.
 Scale design (round 2 replaced the round-1 corpus-text broadcast;
 round 3 sized every bucket count from ``partitioning.buckets_for`` and
 made cluster label propagation provably convergent):
-- the band/bucket shuffles move only (key, doc_id) pairs, never payloads;
-- candidate VERIFICATION is a partitioned hash join — candidate pairs are
-  bucketed on ``doc_a % P`` then ``doc_b % P`` against the corpus bucketed
-  on ``doc_id % P``, each side's text attached inside ``map_groups`` with
-  a bucket-local dict.  No driver materialization, no ``ray.put`` of the
-  corpus; memory per task is one bucket's slice of the corpus.
+- the band/bucket shuffles move only (key, doc_id) pairs, never payloads
+  (simhash additionally rides its 8-byte hash on the pairing exchange,
+  so its verification is a stateless popcount map with NO corpus join
+  at all — round-4 rework);
+- jaccard VERIFICATION (exact shingle sets need the text) is a
+  partitioned hash join — candidate pairs are bucketed on ``doc_a % P``
+  then ``doc_b % P`` against the corpus bucketed on ``doc_id % P``,
+  each side's text attached inside ``map_groups`` as Arrow (no
+  object-dtype round trip).  No driver materialization, no ``ray.put``
+  of the corpus; memory per task is one bucket's slice of the corpus.
 - hot LSH buckets (> ``MAX_BUCKET`` docs) degrade to STAR pairing against
   the bucket's min-id representative: linear in bucket size, preserves
   duplicate-cluster connectivity (every member still links to the
