@@ -271,6 +271,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "events_retention_7d": relational.events_retention_7d,
         "part_cheapest_supplier": relational.part_cheapest_supplier,
         "customer_order_counts": relational.customer_order_counts,
+        "part_attrs_unpivot": relational.part_attrs_unpivot,
+        "orders_date_islands": relational.orders_date_islands,
         "doc_c4_line_filter": textops.doc_c4_line_filter,
         # flagship-as-oracled (pinned tier, sequential-oracle export):
         # a green row IS the per-turn / per-conversation parity claim
@@ -416,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention_7d": relational.EVENTS_RETENTION_SQL,
         "part_cheapest_supplier": relational.PART_CHEAPEST_SQL,
         "customer_order_counts": relational.CUSTOMER_ORDER_COUNTS_SQL,
+        "part_attrs_unpivot": relational.PART_UNPIVOT_SQL,
+        "orders_date_islands": relational.ORDERS_ISLANDS_SQL,
         "doc_c4_line_filter": textops.DOC_C4_LINE_SQL,
         "extract_turns_oracled": turn_oracle.extract_turns_sql(),
         "assemble_conversations_oracled":

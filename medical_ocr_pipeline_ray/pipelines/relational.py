@@ -3487,3 +3487,106 @@ SELECT c_custkey, c_mktsegment,
 FROM customer LEFT JOIN orders ON o_custkey = c_custkey
 GROUP BY c_custkey, c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide → long melt): the inverse of events_pivot_daily —
+# numeric part attributes melt into (p_partkey, attr, value) rows.
+# Stateless batch map (row expansion, no shuffle).
+# ---------------------------------------------------------------------------
+
+def part_attrs_unpivot(sf_dir: str):
+    """Melt part's numeric attributes to long form: one row per
+    (p_partkey, attr) with the value in cents/units as BIGINT."""
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        pk = df["p_partkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "p_partkey": np.concatenate([pk, pk]),
+            "attr": np.concatenate([
+                np.full(n, "p_size", dtype=object),
+                np.full(n, "p_retailprice_cents", dtype=object)]),
+            "value": np.concatenate([
+                df["p_size"].to_numpy(np.int64),
+                _cents(df["p_retailprice"])])})
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+PART_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS BIGINT) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice_cents' AS attr,
+       CAST(round(p_retailprice * 100) AS BIGINT) AS value
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per customer, runs of CONSECUTIVE order days.  The
+# classic sessionization-by-calendar shape (SQL: date − row_number()
+# island key).  One bucketed exchange — a customer's full order-date
+# history lands in one bucket task where islands are a vectorized diff.
+# ---------------------------------------------------------------------------
+
+def orders_date_islands(sf_dir: str, n_buckets: int | None = None):
+    """Per customer: one row per island of consecutive order DAYS —
+    (o_custkey, island_start, island_end, n_days)."""
+    n_b = n_buckets or buckets_for(table_bytes(sf_dir, "orders"))
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (ck % n_b).astype(np.int32),
+            "ckey": ck,
+            "day": df["o_orderdate"].dt.normalize().to_numpy()})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ckey", "day"]) \
+            .sort_values(["ckey", "day"], kind="mergesort")
+        ck = g["ckey"].to_numpy(np.int64)
+        day = g["day"].to_numpy("datetime64[D]")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "o_custkey": pd.Series([], dtype=np.int64),
+                "island_start": pd.Series([], dtype="datetime64[us]"),
+                "island_end": pd.Series([], dtype="datetime64[us]"),
+                "n_days": pd.Series([], dtype=np.int64)})
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (ck[1:] != ck[:-1]) | \
+            ((day[1:] - day[:-1]) != np.timedelta64(1, "D"))
+        isl = np.cumsum(new_island) - 1
+        starts = np.flatnonzero(new_island)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pd.DataFrame({
+            "o_custkey": ck[starts],
+            "island_start": day[starts].astype("datetime64[us]"),
+            "island_end": day[ends].astype("datetime64[us]"),
+            "n_days": np.bincount(isl).astype(np.int64)})
+
+    return ds.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+ORDERS_ISLANDS_SQL = """
+WITH d AS (
+  SELECT DISTINCT o_custkey, date_trunc('day', o_orderdate) AS day
+  FROM orders),
+r AS (
+  SELECT o_custkey, day,
+         day - INTERVAL (row_number() OVER (
+             PARTITION BY o_custkey ORDER BY day)) DAY AS island_key
+  FROM d)
+SELECT o_custkey,
+       CAST(min(day) AS TIMESTAMP) AS island_start,
+       CAST(max(day) AS TIMESTAMP) AS island_end,
+       count(*) AS n_days
+FROM r GROUP BY o_custkey, island_key
+"""

@@ -104,6 +104,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "multimodal_pixel_hist", "customer_order_counts",
     "multimodal_resize", "assemble_documents_oracled",
     "knn_recall_gate", "dedup_recall_gate",
+    "part_attrs_unpivot", "orders_date_islands",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
