@@ -274,6 +274,7 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "part_attrs_unpivot": relational.part_attrs_unpivot,
         "orders_date_islands": relational.orders_date_islands,
         "doc_c4_line_filter": textops.doc_c4_line_filter,
+        "doc_token_cms_gate": textops.doc_token_cms_gate,
         # flagship-as-oracled (pinned tier, sequential-oracle export):
         # a green row IS the per-turn / per-conversation parity claim
         "extract_turns_oracled": turn_oracle.extract_turns_oracled,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "part_attrs_unpivot": relational.PART_UNPIVOT_SQL,
         "orders_date_islands": relational.ORDERS_ISLANDS_SQL,
         "doc_c4_line_filter": textops.DOC_C4_LINE_SQL,
+        "doc_token_cms_gate": textops.DOC_TOKEN_CMS_SQL,
         "extract_turns_oracled": turn_oracle.extract_turns_sql(),
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_sql(),

@@ -1473,3 +1473,91 @@ APPROX_QUANTILES_SQL = (
     "SELECT q, value, TRUE AS within_tol FROM (" +
     EVENTS_QUANTILES_SQL + ") t"
 )
+
+
+_CMS_D = 4               # hash rows
+_CMS_W = 8192            # counters per row
+
+
+def _cms_hashes(token: str) -> np.ndarray:
+    """d independent column indices from one blake2b digest (stable
+    across workers — never the salted builtin hash)."""
+    import hashlib
+    dig = hashlib.blake2b(token.encode("utf-8"), digest_size=16).digest()
+    return np.frombuffer(dig, dtype="<u4")[:_CMS_D] % _CMS_W
+
+
+def doc_token_cms_gate(sf_dir: str, k: int = 20):
+    """Count-Min Sketch token counting with its error bound as a driver
+    gate (completing the sketch family: HLL distinct, MinHash/SimHash
+    similarity, bottom-k quantiles, CMS frequencies).
+
+    Each batch emits ONE mergeable d×w counter sketch (sum-merge — the
+    shuffle moves 128 KiB per batch regardless of corpus size); the
+    exact top-k token counts come from the existing
+    ``coarse_topk_counts`` fold; the gate asserts the CMS guarantee per
+    token: est ≥ exact (one-sided) AND est − exact ≤ ⌈2N/w⌉ · margin,
+    far inside the classic εN bound (ε = e/w) at δ = e^-d.  The SQL
+    oracle recomputes the exact counts and asserts every flag TRUE."""
+    import zlib
+
+    from collections import Counter
+
+    from ..functions.fingerprint import words
+    from ..partitioning import buckets_for, table_bytes
+    from .relational import coarse_topk_counts
+
+    ds = _docs(sf_dir, columns=("text",))
+    n_b = buckets_for(table_bytes(sf_dir, "documents"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(words(t))
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        toks = sorted(c)
+        return pd.DataFrame({
+            "token": pd.Series(toks, dtype=object),
+            "n": np.array([c[t] for t in toks], dtype=np.int64)})
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    exact = coarse_topk_counts(counts, "token", k, n_b)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in df["text"]:
+            c.update(words(t))
+        m = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for tok, n in c.items():
+            m[np.arange(_CMS_D), _cms_hashes(tok)] += n
+        return pd.DataFrame({"regs": [m.reshape(-1)]})
+
+    merged = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+    n_total = 0
+    for b in ds.map_batches(sketch, batch_format="pandas") \
+            .iter_batches(batch_format="pandas"):
+        for r in b["regs"]:
+            merged += np.asarray(r, dtype=np.int64)
+    merged = merged.reshape(_CMS_D, _CMS_W)
+    n_total = int(merged[0].sum())
+
+    flags = []
+    bound = -(-2 * n_total // _CMS_W)          # ceil(2N/w)
+    for tok, n in zip(exact["token"], exact["n"]):
+        est = int(merged[np.arange(_CMS_D), _cms_hashes(str(tok))].min())
+        flags.append(est >= int(n) and est - int(n) <= bound)
+    return pd.DataFrame({
+        "token": exact["token"].to_numpy(),
+        "n": exact["n"].to_numpy(np.int64),
+        "cms_within_bound": np.array(flags, dtype=bool)})
+
+
+DOC_TOKEN_CMS_SQL = """
+SELECT token, n, TRUE AS cms_within_bound FROM (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+    FROM documents) t
+  GROUP BY token ORDER BY n DESC, token LIMIT 20)
+"""
