@@ -310,6 +310,7 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "dedup_pipeline": dedup.dedup_pipeline,
         # planted-twin recall of the sketch family as a driver gate
         "dedup_recall_gate": dedup.dedup_recall_gate,
+        "doc_containment": dedup.doc_containment,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
         "knn_range_search": similarity.knn_range_search,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_documents_oracled": documents.assemble_documents_sql(),
         "knn_recall_gate": similarity.KNN_RECALL_GATE_SQL,
         "dedup_recall_gate": dedup.DEDUP_RECALL_GATE_SQL,
+        "doc_containment": dedup.DOC_CONTAINMENT_SQL,
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),
         "approx_value_quantiles": textops.APPROX_QUANTILES_SQL,

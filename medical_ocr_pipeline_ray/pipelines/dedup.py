@@ -1149,3 +1149,162 @@ SELECT CAST(count(*) AS BIGINT) AS n_strong_twins,
        TRUE AS pipeline_removal_ok
 FROM j WHERE jac >= 0.9
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment detection (near-superset / quote-in-document): the dedup
+# semantic jaccard misses — a short document wholly CONTAINED in a long
+# one scores low symmetric jaccard but containment |sh(A)∩sh(B)|/|sh(A)|
+# ≈ 1.  ("Deduplicating Training Data…" flags exactly these memorization
+# snippets.)  Since the testdata has no natural snippets, the corpus is
+# augmented with planted prefixes (doc_id+3_000_000 = first 12 words of
+# every doc_id % 13 == 0 doc), like the dedup-twin pattern.
+# ---------------------------------------------------------------------------
+
+SNIP_WORDS = 12
+_SMALL_WORDS = 19          # "small" docs probe for containers
+_CONTAIN_THR = 0.9
+
+
+def snippet_augmented_docs(sf_dir: str):
+    """documents ∪ planted prefix snippets (one batch map)."""
+    from ..functions.fingerprint import words
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids = list(df["doc_id"])
+        texts = list(df["text"])
+        for did, t in zip(df["doc_id"], df["text"]):
+            if did % 13 == 0:
+                ids.append(did + 3_000_000)
+                texts.append(" ".join(words(t)[:SNIP_WORDS]))
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+def doc_containment(sf_dir: str, n_buckets: int | None = None):
+    """(contained_id, container_id, containment) for every small doc
+    (≤ {_SMALL_WORDS} words) whose 3-shingle containment in another doc
+    is ≥ 0.9 — EXACT by construction: at ≤ 17 shingles the 0.9 threshold
+    allows at most ONE missing shingle, so probing a small doc's TWO
+    lowest-hash shingles against a shingle-postings index cannot miss a
+    qualifying container (pigeonhole).  Plan: one pass emits postings
+    (all docs) + probes (small docs) → shingle-bucketed candidate join →
+    partitioned text attach (the dedup join plumbing) → exact
+    containment verify.  Caveat, documented: a probe that lands on a
+    corpus-hot shingle yields candidates ∝ its document frequency —
+    low-df probe selection via a df side-channel is the at-scale
+    refinement."""
+    import hashlib
+    import zlib
+
+    from ..functions.fingerprint import words
+
+    p = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
+    aug = snippet_augmented_docs(sf_dir)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        sb, sh_, did_, side = [], [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            ws = words(t)
+            sh = shingles(t, 3)
+            if not sh:
+                continue
+            did = int(did)
+            for s in sh:
+                sb.append(zlib.crc32(s.encode()) % p)
+                sh_.append(s)
+                did_.append(did)
+                side.append(1)
+            if len(ws) <= _SMALL_WORDS:
+                probes = sorted(
+                    sh, key=lambda s: hashlib.blake2b(
+                        s.encode(), digest_size=8).digest())[:2]
+                for s in probes:
+                    sb.append(zlib.crc32(s.encode()) % p)
+                    sh_.append(s)
+                    did_.append(did)
+                    side.append(0)
+        return pd.DataFrame({
+            "bucket": np.array(sb, dtype=np.int32),
+            "sh": pd.Series(sh_, dtype=object),
+            "doc_id": np.array(did_, dtype=np.int64),
+            "side": np.array(side, dtype=np.int8)})
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        posts: dict[str, list[int]] = {}
+        for s, d in zip(g.loc[g["side"] == 1, "sh"],
+                        g.loc[g["side"] == 1, "doc_id"]):
+            posts.setdefault(s, []).append(int(d))
+        oa, ob = [], []
+        seen = set()
+        for s, small in zip(g.loc[g["side"] == 0, "sh"],
+                            g.loc[g["side"] == 0, "doc_id"]):
+            small = int(small)
+            for d in posts.get(s, ()):
+                if d != small and (small, d) not in seen:
+                    seen.add((small, d))
+                    oa.append(small)
+                    ob.append(d)
+        return pd.DataFrame({"doc_a": np.array(oa, dtype=np.int64),
+                             "doc_b": np.array(ob, dtype=np.int64)})
+
+    cands = aug.map_batches(emit, batch_format="pandas") \
+        .groupby("bucket").map_groups(match, batch_format="pandas")
+    with_a = _attach_text(cands, snippet_augmented_docs(sf_dir), "a",
+                          n_buckets=p)
+    with_ab = _attach_text(with_a, snippet_augmented_docs(sf_dir), "b",
+                           n_buckets=p)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        oa, ob, oc = [], [], []
+        for a, b, ta, tb in zip(df["doc_a"], df["doc_b"],
+                                df["text_a"], df["text_b"]):
+            sa = shingles(ta, 3)
+            sb_ = shingles(tb, 3)
+            if not sa:
+                continue
+            c = len(sa & sb_) / len(sa)
+            if c >= _CONTAIN_THR:
+                oa.append(int(a))
+                ob.append(int(b))
+                oc.append(float(c))
+        return pd.DataFrame({
+            "contained_id": np.array(oa, dtype=np.int64),
+            "container_id": np.array(ob, dtype=np.int64),
+            "containment": np.array(oc, dtype=np.float64)})
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+DOC_CONTAINMENT_SQL = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(
+             (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:12], ' ')
+           AS text
+  FROM documents WHERE doc_id % 13 = 0),
+w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM aug),
+sh AS (
+  SELECT doc_id, len(ws) AS nw,
+         CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+              WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+              ELSE list_distinct(list_transform(
+                  generate_series(1, len(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
+  FROM w),
+small AS (SELECT * FROM sh WHERE nw <= 19 AND len(s) > 0)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(len(a.s) AS DOUBLE) AS containment
+FROM small a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(a.s) AS DOUBLE) >= 0.9
+"""
