@@ -64,85 +64,99 @@ def assemble_convs(sf_dir: str):
 # the remaining catalogue entries in their stable definition order.
 #
 # Rotation plan:
-#   round 4 (_BOARD below): the 49 oracled queries that never received a
-#     driver row in rounds 1-3 (corpus layer, window/analytics, Q5/Q10,
-#     dedup_ngram_jaccard, knn_range_search/label_predict, ...) plus
-#     dedup_exact (green r1/r2, fell off the r3 board), plus the
-#     newly-oracled turn-side queries (annotate_turn_entities,
-#     segment_turns, best_variant_extraction, engine_block_stats,
-#     approx_distinct_shingles).
-#   round 5: everything not on the round-4 board — the 35 queries green in
-#     rounds 1-3 (q1/q3, joins, sessions/windows, doc_stats family,
-#     knn_brute_force, ...) plus any round-4 spill — so that
-#     board(r4) ∪ board(r5) ∪ green(r1-r3) covers all oracled queries.
+#   round 4: the 50 oracled queries that never received a driver row in
+#     rounds 1-3 plus the newly-oracled turn-side / flagship queries —
+#     CORRECTNESS_r04.json: 50/50 green.
+#   round 5 (_BOARD below): the 29 oracled queries with no green driver
+#     row in ANY of rounds 1-4 (computed from CORRECTNESS_r0{1..4}.json:
+#     the qa_* family, the round-4 late adds q18/q7/retention/cheapest/
+#     c4/cms/unpivot/islands, the rotation-deferred window ops, the
+#     accuracy gates and the multimodal oracles), the round-5 new
+#     oracles (dedup_pipeline_oracled + the sf-scaled flagship parity
+#     rows), and the strongest prior greens as fill — preferring
+#     operators whose code CHANGED this round (dedup_ngram_jaccard,
+#     doc_containment, doc_token_cms_gate) so the driver re-verifies
+#     them.  board(r4) ∪ board(r5) ∪ green(r1-r3) covers every oracled
+#     query in the catalogue.
 _BOARD: list[str] = [
-    # corpus-construction layer (never driver-checked before r4)
-    "doc_segment_dedup",
-    "doc_chunks",
-    "doc_unigram_commonness",
-    "bigram_postings",
-    "doc_domain_counts",
-    "doc_pack_bins",
-    "corpus_build_pipeline",
-    "doc_dup_spans",
-    "doc_vocab_oov",
-    "doc_keep_best_per_source",
-    # dedup / similarity (exact-oracled members)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "knn_range_search",
-    "knn_label_predict",
-    "embedding_label_centroids",
-    # text-analysis layer
-    "doc_token_count",
-    "doc_normalize_text",
-    "doc_top_bigrams",
-    "annotate_doc_entities",
-    "doc_decontaminate",
-    "doc_repetition_stats",
-    "doc_heavy_hitters",
-    # heavy relational shapes
-    "q5_region_revenue",
-    "q10_returned_revenue",
-    "lineitem_regression",
-    "lineitem_cube",
-    "lineitem_rollup",
-    "lineitem_corr",
-    "part_pairs_topk",
-    "part_fuzzy_match_counts",
-    "part_revenue_share",
-    "parts_shipped_both_years",
-    "parts_shipped_1996_only",
-    "nation_segments_agg",
-    "orders_above_customer_avg",
-    "orders_percent_rank",
-    "orders_running_total",
-    # window / analytics layer over events
-    "events_outliers",
-    "events_views_vs_purchases",
-    "events_gap_stats",
-    "events_funnel",
-    "events_lag_delta",
-    "events_rolling_avg",
-    # turn-side operators newly oracled in round 4 (exported turns view
-    # + SQL recomputation; see pipelines/turn_oracle.py) — their green
-    # rows double as driver-visible extraction-parity checks
-    "annotate_turn_entities",
-    "segment_turns",
-    "engine_block_stats",
-    "best_variant_extraction",
-    "approx_distinct_shingles",
-    # the flagship itself as driver-oracled rows: extraction per-turn
-    # parity and assembly digest parity vs the sequential oracle
+    # --- oracled, never driver-green in r1-r4 (29) ---
+    # turn-side QA family (exported-turns-view oracles)
+    "qa_turn_metrics",
+    "qa_content_accounting",
+    "qa_against_expected",
+    "topk_boilerplate_turns",
+    "qa_quality_gate",
+    "payload_coverage_digest",
+    "assemble_documents_oracled",
+    # round-4 late relational/text adds
+    "q18_large_orders",
+    "q7_nation_volume",
+    "events_retention_7d",
+    "part_cheapest_supplier",
+    "customer_order_counts",
+    "part_attrs_unpivot",
+    "orders_date_islands",
+    "doc_c4_line_filter",
+    "doc_token_cms_gate",
+    "approx_value_quantiles",
+    # rotation-deferred window/analytics ops
+    "supplier_topk_per_nation",
+    "customer_ntile_by_nation",
+    "events_pivot_daily",
+    "doc_length_histogram",
+    "part_mode_brand",
+    "events_daily_active_users",
+    "orders_month_over_month",
+    # accuracy gates + containment + multimodal oracles
+    "dedup_recall_gate",
+    "doc_containment",
+    "knn_recall_gate",
+    "multimodal_resize",
+    "multimodal_pixel_hist",
+    # --- round-5 new oracles ---
+    "dedup_pipeline_oracled",
+    "extract_turns_sf_oracled",
+    "assemble_conversations_sf_oracled",
+    "multimodal_png_pixel_hist",
+    # --- fill: strongest prior greens (flagship parity stays driver-
+    # visible every round; dedup_ngram_jaccard re-verifies its round-5
+    # prefix-filter blocking rework) ---
     "extract_turns_oracled",
     "assemble_conversations_oracled",
-    # bumped to the round-5 rotation to make room for the seven above:
-    # events_pivot_daily, customer_ntile_by_nation, doc_length_histogram,
-    # part_mode_brand, orders_month_over_month, supplier_topk_per_nation,
-    # events_daily_active_users (plus all r1-r3 greens and the other
-    # round-4 additions: q18/q7/retention/cheapest/c4, qa_* oracles,
-    # payload_coverage_digest, approx_value_quantiles)
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "corpus_build_pipeline",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q10_returned_revenue",
+    "events_sessions",
+    "events_hourly_window",
+    "events_asof_attribution",
+    "knn_brute_force",
+    "doc_stats",
+    "doc_quality_filter",
+    "semi_join_customers_bloom",
+    "segment_turns",
+    "annotate_turn_entities",
 ]
+
+
+# Queries whose callables IGNORE sf_dir and always run on a pinned synth
+# tier (their SQL oracles are static strings over the exported oracle
+# parquet, so the input must be sf-independent).  Bench timings under
+# these names measure the pinned tier, NOT the sf-scaled corpus —
+# bench.py surfaces any overlap with its timed subset via the
+# ``pinned_tier_queries`` output field (round-4 ADVICE: the silent
+# sf_dir no-op was easy to misread across rounds).
+PINNED_TIER_QUERIES: frozenset[str] = frozenset({
+    "qa_turn_metrics", "qa_content_accounting", "qa_against_expected",
+    "topk_boilerplate_turns", "qa_quality_gate", "engine_block_stats",
+    "best_variant_extraction", "segment_turns", "annotate_turn_entities",
+    "payload_coverage_digest", "extract_turns_oracled",
+    "assemble_conversations_oracled", "assemble_documents_oracled",
+    "extract_turns_sf_oracled", "assemble_conversations_sf_oracled",
+    "dedup_pipeline_oracled",
+})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

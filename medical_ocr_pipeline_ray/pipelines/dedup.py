@@ -125,7 +125,6 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
                         n_coarse: int | None = None,
                         hot_mode: str = "star",
                         emit_hot_key: bool = False,
-                        only_hot_star: bool = False,
                         payload_col: str | None = None):
     """bucket rows (key, doc_id) → candidate pairs (doc_a < doc_b).
 
@@ -190,8 +189,6 @@ def _pairs_from_buckets(keyed, key_col: str, max_bucket: int = MAX_BUCKET,
             if payload_col is not None:
                 pay = sub[payload_col].to_numpy().astype(np.int64)[first]
             hot = len(ids) > max_bucket
-            if only_hot_star and not hot:
-                continue
             if hot and hot_mode == "star":
                 outs_a.append(np.full(len(ids) - 1, ids[0], dtype=np.int64))
                 outs_b.append(ids[1:])
@@ -480,10 +477,13 @@ def _rescue_hot_buckets(pending, mode: str, k: int, threshold: float,
     so a genuinely mixed hot bucket (two clusters behind one band key)
     resolves in 2 rounds at linear pairs per round.
 
-    Bounded on both axes: ``RESCUE_MAX_MEMBERS`` caps the text payload a
-    single task holds (beyond it the smallest-id members are processed
-    and the tail is logged — same information loss as plain star
-    pairing), and ``RESCUE_MAX_CLUSTERS`` caps cascade rounds (a natural
+    Bounded on both axes: ``RESCUE_MAX_MEMBERS`` caps the cascade's
+    working set (beyond it the smallest-id members cascade and every
+    TAIL member is still verified against the bucket's min-id
+    representative as a plain star pair — so truncation only loses
+    pairs BETWEEN tail members of distinct non-rep clusters, strictly
+    less information loss than plain star pairing, never more), and
+    ``RESCUE_MAX_CLUSTERS`` caps cascade rounds (a natural
     collision bucket where nothing matches anything would otherwise
     degrade to quadratic rounds; past the cap the residual is left
     unpaired, which is exactly the plain star behaviour)."""
@@ -531,16 +531,31 @@ def _rescue_hot_buckets(pending, mode: str, k: int, threshold: float,
 
     def cascade(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id").drop_duplicates("doc_id")
+        out_a, out_b, out_s = [], [], []
         if len(g) > RESCUE_MAX_MEMBERS:
             logging.getLogger(__name__).warning(
                 "hot bucket %s has %d members; cascading the %d "
-                "smallest ids only", g["hot_key"].iloc[0], len(g),
-                RESCUE_MAX_MEMBERS)
+                "smallest ids, star-verifying the tail against the rep",
+                g["hot_key"].iloc[0], len(g), RESCUE_MAX_MEMBERS)
+            tail = g.iloc[RESCUE_MAX_MEMBERS:]
             g = g.iloc[:RESCUE_MAX_MEMBERS]
+            # tail members keep the plain-star guarantee: each is
+            # verified against the bucket rep, so truncation never
+            # loses MORE than star pairing would have
+            rep_id = int(g["doc_id"].iloc[0])
+            rep_text = g["text"].iloc[0]
+            for tid, ttext in zip(tail["doc_id"], tail["text"]):
+                s, ok = _pair_sim(rep_text, ttext, mode, k,
+                                  threshold, round_digits)
+                if ok:
+                    out_a.append(rep_id)
+                    out_b.append(int(tid))
+                    out_s.append(round(float(s), round_digits)
+                                 if round_digits is not None
+                                 else float(s))
         ids = g["doc_id"].to_numpy(np.int64)
         texts = list(g["text"])
         residual = list(range(len(ids)))
-        out_a, out_b, out_s = [], [], []
         for _ in range(RESCUE_MAX_CLUSTERS):
             if len(residual) < 2:
                 break
