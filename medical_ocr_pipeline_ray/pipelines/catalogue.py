@@ -19,8 +19,8 @@ from typing import Any
 from ..config import DEFAULT_PIPELINE
 from ..sources.transcripts import read_transcripts
 from ..synth import tier_for_sf_dir
-from . import (corpus, dedup, documents, multimodal, qa, relational,
-               segments, similarity, textops, turn_oracle)
+from . import (corpus, dedup, dedup_oracle, documents, multimodal, qa,
+               relational, segments, similarity, textops, turn_oracle)
 from .extract_pipeline import build_turns_pipeline
 from ..stages.assemble import assemble_conversations
 
@@ -322,6 +322,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_pipeline": dedup.dedup_pipeline,
+        # the composite vs the pinned-corpus sequential union-find oracle
+        "dedup_pipeline_oracled": dedup_oracle.dedup_pipeline_oracled,
         # planted-twin recall of the sketch family as a driver gate
         "dedup_recall_gate": dedup.dedup_recall_gate,
         "doc_containment": dedup.doc_containment,
@@ -354,8 +356,10 @@ def oracle_sql() -> dict[str, str]:
     # ~100 turns via the sequential python oracle) so the SQL works
     # regardless of whether the driver runs it before or after the Ray
     # queries
+    from .dedup_oracle import ensure_export as ensure_dedup_export
     from .turn_oracle import ensure_export
     ensure_export()
+    ensure_dedup_export()
     return {
         "annotate_turn_entities": segments._annotate_sql(),
         "segment_turns": segments._segment_sql(),
@@ -450,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "assemble_documents_oracled": documents.assemble_documents_sql(),
         "knn_recall_gate": similarity.KNN_RECALL_GATE_SQL,
         "dedup_recall_gate": dedup.DEDUP_RECALL_GATE_SQL,
+        "dedup_pipeline_oracled": dedup_oracle.dedup_pipeline_sql(),
         "doc_containment": dedup.DOC_CONTAINMENT_SQL,
         "qa_content_accounting": qa.qa_content_accounting_sql(),
         "topk_boilerplate_turns": qa.topk_boilerplate_sql(),

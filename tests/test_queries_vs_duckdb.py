@@ -106,6 +106,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "knn_recall_gate", "dedup_recall_gate",
     "part_attrs_unpivot", "orders_date_islands",
     "doc_token_cms_gate", "doc_containment",
+    "dedup_pipeline_oracled",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
