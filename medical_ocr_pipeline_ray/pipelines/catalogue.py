@@ -292,6 +292,10 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         # flagship-as-oracled (pinned tier, sequential-oracle export):
         # a green row IS the per-turn / per-conversation parity claim
         "extract_turns_oracled": turn_oracle.extract_turns_oracled,
+        # flagship parity at the driver's own correctness scale (t2)
+        "extract_turns_sf_oracled": turn_oracle.extract_turns_sf_oracled,
+        "assemble_conversations_sf_oracled":
+            turn_oracle.assemble_conversations_sf_oracled,
         "payload_coverage_digest": qa.payload_coverage_digest,
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_oracled,
@@ -357,8 +361,9 @@ def oracle_sql() -> dict[str, str]:
     # regardless of whether the driver runs it before or after the Ray
     # queries
     from .dedup_oracle import ensure_export as ensure_dedup_export
-    from .turn_oracle import ensure_export
+    from .turn_oracle import ensure_export, ensure_scale_export
     ensure_export()
+    ensure_scale_export()
     ensure_dedup_export()
     return {
         "annotate_turn_entities": segments._annotate_sql(),
@@ -443,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_c4_line_filter": textops.DOC_C4_LINE_SQL,
         "doc_token_cms_gate": textops.DOC_TOKEN_CMS_SQL,
         "extract_turns_oracled": turn_oracle.extract_turns_sql(),
+        "extract_turns_sf_oracled": turn_oracle.extract_turns_sf_sql(),
+        "assemble_conversations_sf_oracled":
+            turn_oracle.assemble_conversations_sf_sql(),
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_sql(),
         "qa_turn_metrics": qa.qa_turn_metrics_sql(),

@@ -75,8 +75,8 @@ def expected_glob() -> str:
                         "expected", "*.parquet")
 
 
-def _raw_rows() -> list[dict]:
-    tdir = os.path.join(materialize_tier(ORACLE_TIER), "transcripts")
+def _raw_rows(tier: str = ORACLE_TIER) -> list[dict]:
+    tdir = os.path.join(materialize_tier(tier), "transcripts")
     rows: list[dict] = []
     for f in sorted(os.listdir(tdir)):
         if f.endswith(".parquet"):
@@ -85,17 +85,14 @@ def _raw_rows() -> list[dict]:
     return rows
 
 
-def _build_export(out: str) -> None:
-    from ..functions.pdfblocks import (extract_pdf_payload, is_pdf_payload,
-                                       parse_payload)
+def _write_turns(rows: list[dict], out: str) -> None:
+    """Extracted turns via the sequential oracle (no Ray) → parquet.
+    rows and tdf share the (conv_id, turn_idx) order (_raw_rows
+    pre-sorts and the oracle's sort is stable), so raw-text stats zip
+    positionally."""
     from ..oracle import oracle_extract_turns
     from .qa import _SANCTIONED_KINDS as _SANCTIONED
 
-    rows = _raw_rows()
-
-    # 1) extracted turns via the sequential oracle (no Ray).  rows and
-    # tdf share the (conv_id, turn_idx) order (_raw_rows pre-sorts and
-    # the oracle's sort is stable), so raw-text stats zip positionally.
     tdf = oracle_extract_turns(rows)
     raw_chars = np.array(
         [len(r["text"]) if isinstance(r["text"], str) else 0
@@ -129,6 +126,16 @@ def _build_export(out: str) -> None:
             [sum(s["end"] - s["start"] for s in sp if s["kind"] == "dup")
              if sp else 0 for sp in tdf["spans"]], dtype=np.int64)),
     }), os.path.join(out, "turns.parquet"))
+
+
+def _build_export(out: str) -> None:
+    from ..functions.pdfblocks import (extract_pdf_payload, is_pdf_payload,
+                                       parse_payload)
+
+    rows = _raw_rows()
+
+    # 1) extracted turns via the sequential oracle
+    _write_turns(rows, out)
 
     # 2) per-block stats of every tool-payload turn (engine comparison
     #    G5 — one row per parsed block, kept and low-confidence alike)
@@ -290,5 +297,93 @@ SELECT conv_id, count(*) AS n_turns,
        sha256(string_agg(text_extracted, chr(10) ORDER BY turn_idx))
          AS sha256
 FROM read_parquet('{turns_parquet()}')
+GROUP BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SF-SCALE flagship parity (round-4 verdict #5): the t1 rows above prove
+# per-turn parity on a ~100-turn mini tier; these prove it at the
+# driver's own correctness scale — SCALE_TIER is the tier the driver's
+# sf0.01 run maps to (~200 conversations, ~5.5k turns, every payload
+# class at natural frequency).  Only the turns view is exported (the
+# blocks/variants/coverage sidecars stay t1-pinned); the sequential
+# oracle pass is one-time and /tmp-cached like the t1 export.
+# ---------------------------------------------------------------------------
+
+SCALE_TIER = "t2"
+
+
+def scale_export_dir() -> str:
+    return os.path.join(
+        _ROOT, f"{SCALE_TIER}-seed42-{GEN_VERSION}-{EXPORT_VERSION}")
+
+
+def scale_turns_parquet() -> str:
+    return os.path.join(scale_export_dir(), "turns.parquet")
+
+
+def ensure_scale_export() -> str:
+    out = scale_export_dir()
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    os.makedirs(_ROOT, exist_ok=True)
+    scratch = tempfile.mkdtemp(dir=_ROOT, prefix=".build-")
+    _write_turns(_raw_rows(SCALE_TIER), scratch)
+    open(os.path.join(scratch, "_DONE"), "w").close()
+    try:
+        os.rename(scratch, out)
+    except OSError:                      # concurrent builder won
+        import shutil
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
+def extract_turns_sf_oracled(sf_dir: str):
+    """Per-turn extraction over the SCALE tier, value-oracled against
+    the sequential oracle — flagship parity at the driver's own
+    correctness scale, not just the mini tier."""
+    from ..sources.transcripts import read_transcripts
+    from .extract_pipeline import build_turns_pipeline
+
+    ensure_scale_export()
+    turns = build_turns_pipeline(read_transcripts(SCALE_TIER))
+    return turns.select_columns([
+        "conv_id", "turn_idx", "payload_class", "text_extracted",
+        "blocks_kept", "blocks_dropped_dup", "content_chars"])
+
+
+def extract_turns_sf_sql() -> str:
+    return f"""
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, payload_class,
+       text_extracted, CAST(blocks_kept AS INT) AS blocks_kept,
+       CAST(blocks_dropped_dup AS INT) AS blocks_dropped_dup,
+       content_chars
+FROM read_parquet('{scale_turns_parquet()}')
+"""
+
+
+def assemble_conversations_sf_oracled(sf_dir: str):
+    """Conversation assembly over the SCALE tier, digest-oracled (the
+    salted two-phase fold vs ordered string_agg + sha256 in SQL)."""
+    from ..config import DEFAULT_PIPELINE
+    from ..sources.transcripts import read_transcripts
+    from ..stages.assemble import assemble_conversations
+    from .extract_pipeline import build_turns_pipeline
+
+    ensure_scale_export()
+    turns = build_turns_pipeline(read_transcripts(SCALE_TIER))
+    convs = assemble_conversations(turns, DEFAULT_PIPELINE)
+    return convs.select_columns(
+        ["conv_id", "n_turns", "content_chars", "sha256"])
+
+
+def assemble_conversations_sf_sql() -> str:
+    return f"""
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(content_chars) AS BIGINT) AS content_chars,
+       sha256(string_agg(text_extracted, chr(10) ORDER BY turn_idx))
+         AS sha256
+FROM read_parquet('{scale_turns_parquet()}')
 GROUP BY conv_id
 """
