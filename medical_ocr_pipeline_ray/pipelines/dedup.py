@@ -1177,7 +1177,7 @@ FROM j WHERE jac >= 0.9
 # ---------------------------------------------------------------------------
 
 SNIP_WORDS = 12
-_SMALL_WORDS = 19          # "small" docs probe for containers
+_SMALL_WORDS = 49          # "small" docs probe for containers
 _CONTAIN_THR = 0.9
 
 
@@ -1200,54 +1200,125 @@ def snippet_augmented_docs(sf_dir: str):
     return ds.map_batches(expand, batch_format="pandas")
 
 
-def doc_containment(sf_dir: str, n_buckets: int | None = None):
-    """(contained_id, container_id, containment) for every small doc
-    (≤ {_SMALL_WORDS} words) whose 3-shingle containment in another doc
-    is ≥ 0.9 — EXACT by construction: at ≤ 17 shingles the 0.9 threshold
-    allows at most ONE missing shingle, so probing a small doc's TWO
-    lowest-hash shingles against a shingle-postings index cannot miss a
-    qualifying container (pigeonhole).  Plan: one pass emits postings
-    (all docs) + probes (small docs) → shingle-bucketed candidate join →
-    partitioned text attach (the dedup join plumbing) → exact
-    containment verify.  Caveat, documented: a probe that lands on a
-    corpus-hot shingle yields candidates ∝ its document frequency —
-    low-df probe selection via a df side-channel is the at-scale
-    refinement."""
+def _containment_candidates(aug, p: int):
+    """Candidate (small, container) pairs via df-AWARE pigeonhole probes.
+
+    A small doc with |sh| distinct 3-shingles can miss at most
+    ⌊(1−thr)·|sh|⌋ of them from a qualifying container, so probing any
+    m = ⌊(1−thr)·|sh|⌋ + 1 DISTINCT shingles against a shingle-postings
+    index cannot miss a container (pigeonhole — the generalization of
+    the round-4 two-probe rule beyond 19-word smalls).  WHICH m shingles
+    are probed is a pure cost choice, and the round-4 caveat was real: a
+    probe landing on a corpus-hot shingle yields candidates ∝ its
+    document frequency.  So probes are now the m LOWEST-df shingles,
+    selected via a df side-channel (round-4 verdict #2):
+
+      pass 1  (shingle-bucketed): per-batch partial df counts folded to
+              exact per-shingle df — all copies of a shingle share the
+              crc32 bucket, so df is bucket-local — joined to the small
+              docs' shingle rows in the same exchange;
+      pass 2  (doc-bucketed): per small doc, pick the m lowest-(df,
+              blake2b) shingles (hash tiebreak keeps the choice
+              deterministic);
+      pass 3  (shingle-bucketed): postings ∪ probes → candidates.
+
+    The df rows are partial-combined inside each batch before the
+    exchange, and passes 1-2 move only (shingle, id, df) triples for
+    SMALL docs — the full postings travel once, in pass 3, exactly as
+    before."""
     import hashlib
     import zlib
 
+    from collections import Counter
+
     from ..functions.fingerprint import words
 
-    p = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
-    aug = snippet_augmented_docs(sf_dir)
+    def _sh_bucket(s: str) -> int:
+        return zlib.crc32(s.encode()) % p
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
+    # pass 1: df partials (side 2) + small-doc shingle rows (side 0)
+    def emit_df(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
         sb, sh_, did_, side = [], [], [], []
         for did, t in zip(df["doc_id"], df["text"]):
             ws = words(t)
             sh = shingles(t, 3)
             if not sh:
                 continue
-            did = int(did)
-            for s in sh:
-                sb.append(zlib.crc32(s.encode()) % p)
-                sh_.append(s)
-                did_.append(did)
-                side.append(1)
+            cnt.update(sh)
             if len(ws) <= _SMALL_WORDS:
-                probes = sorted(
-                    sh, key=lambda s: hashlib.blake2b(
-                        s.encode(), digest_size=8).digest())[:2]
-                for s in probes:
-                    sb.append(zlib.crc32(s.encode()) % p)
+                did = int(did)
+                for s in sh:
+                    sb.append(_sh_bucket(s))
                     sh_.append(s)
                     did_.append(did)
                     side.append(0)
+        for s, n in cnt.items():
+            sb.append(_sh_bucket(s))
+            sh_.append(s)
+            did_.append(n)              # count rides the id column
+            side.append(2)
         return pd.DataFrame({
             "bucket": np.array(sb, dtype=np.int32),
             "sh": pd.Series(sh_, dtype=object),
             "doc_id": np.array(did_, dtype=np.int64),
             "side": np.array(side, dtype=np.int8)})
+
+    def fold_df(g: pd.DataFrame) -> pd.DataFrame:
+        dfc = g.loc[g["side"] == 2].groupby("sh")["doc_id"].sum()
+        small = g.loc[g["side"] == 0]
+        return pd.DataFrame({
+            "doc_id": small["doc_id"].to_numpy(np.int64),
+            "sh": small["sh"].to_numpy(),
+            "df": small["sh"].map(dfc).to_numpy(np.int64)})
+
+    aug_mat = aug.materialize()         # consumed by passes 1 and 3
+    small_df = aug_mat.map_batches(emit_df, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold_df, batch_format="pandas")
+
+    # pass 2: per small doc, the m lowest-df shingles become probes
+    def key_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            bucket=(df["doc_id"].to_numpy(np.int64) % p).astype(np.int32))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        sb, sh_, did_ = [], [], []
+        for did, sub in g.groupby("doc_id"):
+            # exact integer pigeonhole: a qualifying container needs
+            # inter ≥ ⌈thr·|sh|⌉ shared shingles (thr = _CONTAIN_THR =
+            # 9/10), so it can miss at most |sh| − ⌈9|sh|/10⌉ — float
+            # arithmetic here under-probes when |sh| is a multiple of 10
+            m = len(sub) - (-(-9 * len(sub) // 10)) + 1
+            ranked = sorted(
+                zip(sub["df"], sub["sh"]),
+                key=lambda t: (int(t[0]), hashlib.blake2b(
+                    t[1].encode(), digest_size=8).digest()))[:m]
+            for _dfv, s in ranked:
+                sb.append(_sh_bucket(s))
+                sh_.append(s)
+                did_.append(int(did))
+        return pd.DataFrame({
+            "bucket": np.array(sb, dtype=np.int32),
+            "sh": pd.Series(sh_, dtype=object),
+            "doc_id": np.array(did_, dtype=np.int64),
+            "side": np.zeros(len(sb), dtype=np.int8)})
+
+    probes = small_df.map_batches(key_doc, batch_format="pandas") \
+        .groupby("bucket").map_groups(pick, batch_format="pandas")
+
+    # pass 3: postings ∪ probes → candidate pairs
+    def emit_postings(df: pd.DataFrame) -> pd.DataFrame:
+        sb, sh_, did_ = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            for s in shingles(t, 3):
+                sb.append(_sh_bucket(s))
+                sh_.append(s)
+                did_.append(int(did))
+        return pd.DataFrame({
+            "bucket": np.array(sb, dtype=np.int32),
+            "sh": pd.Series(sh_, dtype=object),
+            "doc_id": np.array(did_, dtype=np.int64),
+            "side": np.ones(len(sb), dtype=np.int8)})
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
         posts: dict[str, list[int]] = {}
@@ -1267,8 +1338,22 @@ def doc_containment(sf_dir: str, n_buckets: int | None = None):
         return pd.DataFrame({"doc_a": np.array(oa, dtype=np.int64),
                              "doc_b": np.array(ob, dtype=np.int64)})
 
-    cands = aug.map_batches(emit, batch_format="pandas") \
+    return aug_mat.map_batches(emit_postings, batch_format="pandas") \
+        .union(probes) \
         .groupby("bucket").map_groups(match, batch_format="pandas")
+
+
+def doc_containment(sf_dir: str, n_buckets: int | None = None):
+    """(contained_id, container_id, containment) for every small doc
+    (≤ ``_SMALL_WORDS`` words) whose 3-shingle containment in another
+    doc is ≥ 0.9 — EXACT by construction via the generalized pigeonhole
+    probe rule, with df-aware probe selection (round-4 verdict #2) so no
+    probe ever lands on a corpus-hot shingle when a rarer one exists;
+    see ``_containment_candidates``.  Candidates then flow through the
+    dedup family's partitioned text attach and the exact containment
+    verify."""
+    p = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
+    cands = _containment_candidates(snippet_augmented_docs(sf_dir), p)
     with_a = _attach_text(cands, snippet_augmented_docs(sf_dir), "a",
                           n_buckets=p)
     with_ab = _attach_text(with_a, snippet_augmented_docs(sf_dir), "b",
@@ -1315,7 +1400,7 @@ sh AS (
                   generate_series(1, len(ws) - 2),
                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS s
   FROM w),
-small AS (SELECT * FROM sh WHERE nw <= 19 AND len(s) > 0)
+small AS (SELECT * FROM sh WHERE nw <= 49 AND len(s) > 0)
 SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          / CAST(len(a.s) AS DOUBLE) AS containment
