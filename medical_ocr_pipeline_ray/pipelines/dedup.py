@@ -789,26 +789,61 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 6):
 
 def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
                         bucket_width: int = 16):
+    """Exact word-bigram Jaccard dedup with TWO-dimensional blocking:
+    length bucket × PREFIX-FILTER shingle (round-4 verdict #3 — length
+    alone is a weak key: at corpus scale every length bucket is hot and
+    the exact-quadratic cap became a hard stop).
+
+    Prefix filter (Bayardo/AllPairs, exact): order every doc's distinct
+    bigram shingles by a global canonical order (their stable 64-bit
+    hash) and emit the first p = |S| − ⌈t·|S|⌉ + 1 as blocking keys.
+    If J(A,B) ≥ t, the common shingle with the SMALLEST hash sits
+    within both prefixes — every hash below it in A's order belongs to
+    A∖B, and |A∖B| ≤ |A| − ⌈t·|A|⌉ — so every qualifying pair shares
+    at least one (length-probe, prefix-shingle) composite key and the
+    blocking stays provably complete: the SQL oracle's blocking
+    predicate (|length-bucket diff| ≤ 1) is unchanged.  p is computed
+    in exact integer arithmetic from the hash-set size with a +1
+    margin so a (astronomically rare) intra-doc 64-bit hash collision
+    cannot shorten the prefix below the bound; docs with no shingles
+    emit one sentinel key per probe (empty-empty pairs score J = 1.0
+    in the oracle).  Hot composite buckets still run the full exact
+    quadratic behind the loud pair cap — but now a bucket is only hot
+    when > max_bucket docs of one length band share a prefix shingle,
+    i.e. a near-duplicate cluster whose qualifying OUTPUT is itself
+    near-quadratic, the cost floor of any exact algorithm."""
+    from ..functions.fingerprint import shingle_hash_array, words
+
     aug = augmented_docs(sf_dir)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+    sentinel = np.array([np.uint64(0xE0E0E0E0E0E0E0E0)])
 
     def buckets(df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.fingerprint import words
         ids, keys = [], []
         for did, t in zip(df["doc_id"], df["text"]):
-            b = len(words(t)) // bucket_width
-            for probe in (b, b + 1):   # overlap so near-equal lengths meet
-                ids.append(int(did))
-                keys.append(probe)
-        return pd.DataFrame({"len_bucket": np.array(keys, dtype=np.int64),
-                             "doc_id": np.array(ids, dtype=np.int64)})
+            lb = len(words(t)) // bucket_width
+            h = shingle_hash_array(t, k)                 # unique u64
+            if h.size == 0:
+                pref = sentinel
+            else:
+                # p = |S| - ceil(4|S|/5) + 1 (t = 0.8, exact ints) + 1
+                p = min(h.size, h.size - (-(-4 * h.size // 5)) + 2)
+                pref = np.partition(h, p - 1)[:p] if p < h.size else h
+            for probe in (lb, lb + 1):   # overlap: near-equal lengths meet
+                kk = ((pref * gold + np.uint64(probe)) & mask63) \
+                    .astype(np.int64)
+                keys.append(kk)
+                ids.append(np.full(kk.size, int(did), dtype=np.int64))
+        if not ids:
+            return pd.DataFrame({
+                "pfx_key": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"pfx_key": np.concatenate(keys),
+                             "doc_id": np.concatenate(ids)})
 
     keyed = aug.map_batches(buckets, batch_format="pandas")
-    # length blocking is the quadratic-within-block BASELINE variant (the
-    # LSH operators are the scale path) → allow big buckets here, and
-    # keep the FULL quadratic past the cap (hot_mode="exact"): unlike
-    # LSH bands, BOTH probe buckets of a hot length band are hot, so a
-    # star degradation would silently break the exact-oracle claim
-    cands = _pairs_from_buckets(keyed, "len_bucket", max_bucket=4096,
+    cands = _pairs_from_buckets(keyed, "pfx_key", max_bucket=4096,
                                 hot_mode="exact")
     # raw IEEE similarity (no rounding): this operator carries an exact
     # DuckDB oracle and len/len double division matches bit-for-bit

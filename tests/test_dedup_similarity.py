@@ -571,3 +571,34 @@ def test_containment_probes_avoid_hot_shingles(ray_session):
     # a hot probe would emit ~n distinct candidates; df-aware probes: 1
     assert len(probe_cands) == 1
     assert probe_cands["doc_b"].iloc[0] == 0
+
+
+def test_ngram_jaccard_survives_hot_length_bucket(ray_session, tmp_path):
+    """Round-4 verdict #3: with length-only blocking, 8.6k same-length
+    docs land in ONE bucket and the exact-quadratic pair cap became a
+    hard ValueError.  The prefix-filter sub-blocking keeps the blocking
+    exact (the planted exact twins are all found) while the same corpus
+    now passes — distinct-content docs no longer share blocking keys
+    just because they share a length."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_ocr_pipeline_ray.pipelines.dedup import dedup_ngram_jaccard
+
+    n = 8400                         # > cap-trip size for length blocking
+    ids = list(range(n))
+    # per-doc disjoint vocab: J = 0 between distinct docs, so the only
+    # qualifying pairs are the did%37 exact twins the operator plants
+    texts = [" ".join(f"d{i}w{j}" for j in range(12)) for i in ids]
+    d = tmp_path / "sfhot"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(d / "documents.parquet"))
+
+    out = dedup_ngram_jaccard(str(d)).to_pandas()
+    expect = {(i, i + 2_000_000) for i in ids if i % 37 == 0}
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert got == expect
+    assert (out["similarity"] == 1.0).all()
