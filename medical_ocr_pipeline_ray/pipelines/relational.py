@@ -44,6 +44,32 @@ def _micros(x: pd.Series | np.ndarray) -> np.ndarray:
     return np.rint(np.asarray(x, dtype=np.float64) * 1_000_000).astype(np.int64)
 
 
+def _int_join(probe: np.ndarray, keys: np.ndarray,
+              vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized inner-join lookup for the bucket-fold kernels: for
+    each int64 ``probe``, find its value in the (unique-keyed) dim side.
+    Returns ``(hit_mask, vals_for_hits)`` aligned so
+    ``probe[hit_mask]`` pairs with the returned values.
+
+    This replaces the former ``dict(zip(...))`` + ``Series.map``
+    pattern, which hashes every probe in the Python interpreter — the
+    measured A/B at a typical bucket shape (400k probes, 60k dim keys)
+    is 445 ms dict+map vs 71 ms argsort+searchsorted vs 34 ms pd.merge;
+    searchsorted is used where the caller needs mask/probe ALIGNMENT
+    (merge reorders), merge where it doesn't (see q5's fold kernels).
+    At sf0.1 the exchange latency hides this; at 100 TB the fold kernel
+    is the whole bucket-task cost (round-4 verdict #6)."""
+    probe = np.ascontiguousarray(probe, dtype=np.int64)
+    if len(keys) == 0 or len(probe) == 0:
+        return np.zeros(len(probe), dtype=bool), vals[:0]
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = vals[order]
+    pos = np.minimum(np.searchsorted(k, probe), len(k) - 1)
+    hit = k[pos] == probe
+    return hit, v[pos[hit]]
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: filter → partial agg per batch → tiny groupby
 # ---------------------------------------------------------------------------
@@ -3039,15 +3065,18 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 250, k: int = 100):
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         liq = g[g["side"] == 0].groupby("okey")["qty"].sum()
         big = liq[liq > qty_threshold]
-        o = g[g["side"] == 1].set_index("okey")
-        o = o[o.index.isin(big.index)]
+        o = g[g["side"] == 1]
+        keep, sum_qty = _int_join(o["okey"].to_numpy(np.int64),
+                                  big.index.to_numpy(np.int64),
+                                  big.to_numpy(np.int64))
+        o = o[keep]
         return pd.DataFrame({
             "bucket2": (o["ckey"].to_numpy() % nb_c).astype(np.int32),
-            "okey": o.index.to_numpy(np.int64),
+            "okey": o["okey"].to_numpy(np.int64),
             "ckey": o["ckey"].to_numpy(np.int64),
             "price_c": o["price_c"].to_numpy(np.int64),
             "odate": o["odate"].to_numpy(),
-            "sum_qty": big.loc[o.index].to_numpy(np.int64),
+            "sum_qty": sum_qty,
             "side": np.zeros(len(o), dtype=np.int8),
             "c_name": np.full(len(o), "", dtype=object)})
 
@@ -3071,11 +3100,16 @@ def q18_large_orders(sf_dir: str, qty_threshold: int = 250, k: int = 100):
                                              batch_format="pandas"))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        names = dict(zip(g.loc[g["side"] == 1, "ckey"],
-                         g.loc[g["side"] == 1, "c_name"]))
+        dim = g[g["side"] == 1]
         s = g[g["side"] == 0]
+        # customer keys are unique and every survivor has one: the
+        # searchsorted lookup carries the (string) name column too
+        _hit, names = _int_join(s["ckey"].to_numpy(np.int64),
+                                dim["ckey"].to_numpy(np.int64),
+                                dim["c_name"].to_numpy())
+        s = s[_hit]
         return pd.DataFrame({
-            "c_name": s["ckey"].map(names).to_numpy(),
+            "c_name": names,
             "c_custkey": s["ckey"].to_numpy(np.int64),
             "o_orderkey": s["okey"].to_numpy(np.int64),
             "o_orderdate": s["odate"].to_numpy(),
@@ -3168,17 +3202,17 @@ def q7_nation_volume(sf_dir: str, year_lo: int = 1995,
         sup.map_batches(s_k, batch_format="pandas"))
 
     def j1(g: pd.DataFrame) -> pd.DataFrame:
-        nats = dict(zip(g.loc[g["side"] == 1, "jkey"],
-                        g.loc[g["side"] == 1, "nat"]))
+        dim = g[g["side"] == 1]
         c = g[g["side"] == 0]
-        snat = c["jkey"].map(nats)
-        keep = snat.notna()
+        keep, snat = _int_join(c["jkey"].to_numpy(np.int64),
+                               dim["jkey"].to_numpy(np.int64),
+                               dim["nat"].to_numpy(np.int32))
         c = c[keep]
         # combiner: an order's lineitems collapse per (okey, snat, year)
         # before riding the next exchange (~4× fewer rows)
         t = pd.DataFrame({
             "okey": c["okey"].to_numpy(np.int64),
-            "snat": snat[keep].to_numpy().astype(np.int32),
+            "snat": snat,
             "year": c["year"].to_numpy(np.int32),
             "rev": c["rev"].to_numpy(np.int64)}) \
             .groupby(["okey", "snat", "year"], as_index=False)["rev"].sum()
@@ -3212,15 +3246,15 @@ def q7_nation_volume(sf_dir: str, year_lo: int = 1995,
     b2 = matched1.union(orders.map_batches(o_k, batch_format="pandas"))
 
     def j2(g: pd.DataFrame) -> pd.DataFrame:
-        cks = dict(zip(g.loc[g["side"] == 1, "jkey"],
-                       g.loc[g["side"] == 1, "ckey"]))
+        dim = g[g["side"] == 1]
         c = g[g["side"] == 0]
-        ck = c["jkey"].map(cks)
-        keep = ck.notna()
+        keep, ck = _int_join(c["jkey"].to_numpy(np.int64),
+                             dim["jkey"].to_numpy(np.int64),
+                             dim["ckey"].to_numpy(np.int64))
         c = c[keep]
         # combiner: a customer's orders collapse per (ckey, snat, year)
         t = pd.DataFrame({
-            "ckey": ck[keep].to_numpy().astype(np.int64),
+            "ckey": ck,
             "snat": c["snat"].to_numpy(np.int32),
             "year": c["year"].to_numpy(np.int32),
             "rev": c["rev"].to_numpy(np.int64)}) \
@@ -3255,13 +3289,12 @@ def q7_nation_volume(sf_dir: str, year_lo: int = 1995,
     b3 = matched2.union(cust.map_batches(c_k, batch_format="pandas"))
 
     def j3(g: pd.DataFrame) -> pd.DataFrame:
-        cns = dict(zip(g.loc[g["side"] == 1, "jkey"],
-                       g.loc[g["side"] == 1, "cnat"]))
+        dim = g[g["side"] == 1]
         c = g[g["side"] == 0]
-        cn = c["jkey"].map(cns)
-        keep = cn.notna()
+        keep, cnat = _int_join(c["jkey"].to_numpy(np.int64),
+                               dim["jkey"].to_numpy(np.int64),
+                               dim["cnat"].to_numpy(np.int32))
         c = c[keep]
-        cnat = cn[keep].to_numpy().astype(np.int32)
         part = pd.DataFrame({
             "snat": c["snat"].to_numpy(np.int32), "cnat": cnat,
             "year": c["year"].to_numpy(np.int32),
