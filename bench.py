@@ -98,6 +98,9 @@ BENCH_QUERIES = (
     "dedup_pipeline",
     "q18_large_orders",
     "q7_nation_volume",
+    # round-5: the reworked dedup blocking + the df-aware containment op
+    "dedup_ngram_jaccard",
+    "doc_containment",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and
