@@ -811,26 +811,98 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
     quadratic behind the loud pair cap — but now a bucket is only hot
     when > max_bucket docs of one length band share a prefix shingle,
     i.e. a near-duplicate cluster whose qualifying OUTPUT is itself
-    near-quadratic, the cost floor of any exact algorithm."""
+    near-quadratic, the cost floor of any exact algorithm.
+
+    CANONICAL ORDER = ASCENDING DOCUMENT FREQUENCY (the AllPairs
+    frequency heuristic), ties by hash.  Any consistent global order
+    keeps the theorem's recall guarantee — the order choice is purely
+    a candidate-volume lever: df order puts each doc's RAREST shingles
+    in its prefix, so on a Zipf-vocabulary corpus (any real text
+    corpus) prefix buckets stay near-unique instead of collecting
+    every doc whose prefix caught a low-HASH stop-bigram.  Measured
+    honesty note: the SYNTH documents table is a worst case for ANY
+    prefix order — 931 distinct bigrams across 5000 sf0.1 docs, median
+    min-df 248 — so candidates only drop 6.72M → 6.01M there (868 real
+    pairs, same wall time); the df order is kept because its cost is
+    two slim combiner-folded exchanges and its payoff is the standard
+    AllPairs behavior on natural vocabularies.  The df side-channel
+    rides the first exchange (partial counts + the doc's shingle rows
+    together), the prefix pick is the second, pairing the third."""
+    from collections import Counter
+
     from ..functions.fingerprint import shingle_hash_array, words
 
+    p_x = buckets_for(table_bytes(sf_dir, "documents"))
     aug = augmented_docs(sf_dir)
     gold = np.uint64(0x9E3779B97F4A7C15)
     mask63 = np.uint64(0x7FFFFFFFFFFFFFFF)
-    sentinel = np.array([np.uint64(0xE0E0E0E0E0E0E0E0)])
+    sentinel = np.int64(-0x1F1F1F1F1F1F1F20)    # empty-doc shingle hash
 
-    def buckets(df: pd.DataFrame) -> pd.DataFrame:
-        ids, keys = [], []
+    # pass 1 (shingle-hash bucketed): per-batch partial df counts
+    # (side 1, count rides the lb column) + every doc's (hash, lb) rows
+    # (side 0)
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        cnt: Counter = Counter()
+        hs_, did_, lb_, side = [], [], [], []
         for did, t in zip(df["doc_id"], df["text"]):
             lb = len(words(t)) // bucket_width
-            h = shingle_hash_array(t, k)                 # unique u64
+            h = shingle_hash_array(t, k).view(np.int64)
             if h.size == 0:
-                pref = sentinel
-            else:
-                # p = |S| - ceil(4|S|/5) + 1 (t = 0.8, exact ints) + 1
-                p = min(h.size, h.size - (-(-4 * h.size // 5)) + 2)
-                pref = np.partition(h, p - 1)[:p] if p < h.size else h
-            for probe in (lb, lb + 1):   # overlap: near-equal lengths meet
+                h = np.array([sentinel], dtype=np.int64)
+            cnt.update(h.tolist())
+            hs_.append(h)
+            did_.append(np.full(h.size, int(did), dtype=np.int64))
+            lb_.append(np.full(h.size, lb, dtype=np.int64))
+            side.append(np.zeros(h.size, dtype=np.int8))
+        if cnt:
+            ch = np.fromiter(cnt.keys(), dtype=np.int64, count=len(cnt))
+            cn = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+            hs_.append(ch)
+            did_.append(np.zeros(len(cnt), dtype=np.int64))
+            lb_.append(cn)                       # count rides lb column
+            side.append(np.ones(len(cnt), dtype=np.int8))
+        h_all = np.concatenate(hs_) if hs_ else \
+            np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "bucket": (h_all % p_x).astype(np.int32),
+            "h": h_all,
+            "doc_id": np.concatenate(did_) if did_ else
+            np.array([], dtype=np.int64),
+            "lb": np.concatenate(lb_) if lb_ else
+            np.array([], dtype=np.int64),
+            "side": np.concatenate(side) if side else
+            np.array([], dtype=np.int8)})
+
+    def fold_df(g: pd.DataFrame) -> pd.DataFrame:
+        from .relational import _int_join
+        dfc = g.loc[g["side"] == 1].groupby("h")["lb"].sum()
+        rows = g.loc[g["side"] == 0]
+        _hit, dfv = _int_join(rows["h"].to_numpy(np.int64),
+                              dfc.index.to_numpy(np.int64),
+                              dfc.to_numpy(np.int64))
+        did = rows["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": (did % p_x).astype(np.int32),
+            "h": rows["h"].to_numpy(np.int64),
+            "doc_id": did,
+            "lb": rows["lb"].to_numpy(np.int64),
+            "df": dfv})
+
+    with_df = aug.map_batches(emit, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold_df, batch_format="pandas")
+
+    # pass 2 (doc bucketed): prefix = the p lowest-(df, hash) shingles
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        ids, keys = [], []
+        for did, sub in g.groupby("doc_id"):
+            n_sh = len(sub)
+            # p = |S| - ceil(4|S|/5) + 1 (t = 0.8, exact ints) + 1
+            p = min(n_sh, n_sh - (-(-4 * n_sh // 5)) + 2)
+            order = np.lexsort((sub["h"].to_numpy(np.int64),
+                                sub["df"].to_numpy(np.int64)))[:p]
+            pref = sub["h"].to_numpy(np.int64)[order].view(np.uint64)
+            lb = int(sub["lb"].iloc[0])
+            for probe in (lb, lb + 1):  # overlap: near-equal lengths meet
                 kk = ((pref * gold + np.uint64(probe)) & mask63) \
                     .astype(np.int64)
                 keys.append(kk)
@@ -842,7 +914,8 @@ def dedup_ngram_jaccard(sf_dir: str, threshold: float = 0.8, k: int = 2,
         return pd.DataFrame({"pfx_key": np.concatenate(keys),
                              "doc_id": np.concatenate(ids)})
 
-    keyed = aug.map_batches(buckets, batch_format="pandas")
+    keyed = with_df.groupby("bucket").map_groups(pick,
+                                                 batch_format="pandas")
     cands = _pairs_from_buckets(keyed, "pfx_key", max_bucket=4096,
                                 hot_mode="exact")
     # raw IEEE similarity (no rounding): this operator carries an exact
@@ -1307,7 +1380,9 @@ def _containment_candidates(aug, p: int):
             "sh": small["sh"].to_numpy(),
             "df": small["sh"].map(dfc).to_numpy(np.int64)})
 
-    aug_mat = aug.materialize()         # consumed by passes 1 and 3
+    # one materialized corpus feeds passes 1 and 3 AND both text-attach
+    # joins — five consumers, one read
+    aug_mat = aug.materialize()
     small_df = aug_mat.map_batches(emit_df, batch_format="pandas") \
         .groupby("bucket").map_groups(fold_df, batch_format="pandas")
 
@@ -1373,9 +1448,10 @@ def _containment_candidates(aug, p: int):
         return pd.DataFrame({"doc_a": np.array(oa, dtype=np.int64),
                              "doc_b": np.array(ob, dtype=np.int64)})
 
-    return aug_mat.map_batches(emit_postings, batch_format="pandas") \
+    cands = aug_mat.map_batches(emit_postings, batch_format="pandas") \
         .union(probes) \
         .groupby("bucket").map_groups(match, batch_format="pandas")
+    return cands, aug_mat
 
 
 def doc_containment(sf_dir: str, n_buckets: int | None = None):
@@ -1388,11 +1464,10 @@ def doc_containment(sf_dir: str, n_buckets: int | None = None):
     dedup family's partitioned text attach and the exact containment
     verify."""
     p = n_buckets or buckets_for(table_bytes(sf_dir, "documents"))
-    cands = _containment_candidates(snippet_augmented_docs(sf_dir), p)
-    with_a = _attach_text(cands, snippet_augmented_docs(sf_dir), "a",
-                          n_buckets=p)
-    with_ab = _attach_text(with_a, snippet_augmented_docs(sf_dir), "b",
-                           n_buckets=p)
+    cands, aug_mat = _containment_candidates(
+        snippet_augmented_docs(sf_dir), p)
+    with_a = _attach_text(cands, aug_mat, "a", n_buckets=p)
+    with_ab = _attach_text(with_a, aug_mat, "b", n_buckets=p)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         oa, ob, oc = [], [], []

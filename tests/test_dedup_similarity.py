@@ -589,7 +589,8 @@ def test_containment_probes_avoid_hot_shingles(ray_session):
     docs.append({"doc_id": 999, "text": small_text})
     aug = rd.from_items(docs)
 
-    cands = _containment_candidates(aug, p=8).to_pandas()
+    cands, _corpus = _containment_candidates(aug, p=8)
+    cands = cands.to_pandas()
     # candidate copies across buckets are deduped downstream by
     # _attach_text; the cost property is about DISTINCT candidates
     probe_cands = cands[cands["doc_a"] == 999] \
