@@ -342,6 +342,9 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         # index recall@k gates (tolerance-gate pattern for retrieval)
         "knn_recall_gate": similarity.knn_recall_gate,
         "embedding_near_dup": similarity.embedding_near_dup,
+        # SemDeDup: within-cluster cosine-duplicate collapse, exact-
+        # oracled via recursive-CTE transitive closure
+        "embedding_semantic_dedup": similarity.embedding_semantic_dedup,
         # multimodal plumbing (decode/feature/resize/frame-sample stages;
         # pixel kernels stubbed, Ray plumbing real)
         "multimodal_features": multimodal.multimodal_features,
@@ -464,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": multimodal.MULTIMODAL_RESIZE_SQL,
         "assemble_documents_oracled": documents.assemble_documents_sql(),
         "knn_recall_gate": similarity.KNN_RECALL_GATE_SQL,
+        "embedding_semantic_dedup": similarity.SEMANTIC_DEDUP_SQL,
         "dedup_recall_gate": dedup.DEDUP_RECALL_GATE_SQL,
         "dedup_pipeline_oracled": dedup_oracle.dedup_pipeline_sql(),
         "doc_containment": dedup.DOC_CONTAINMENT_SQL,

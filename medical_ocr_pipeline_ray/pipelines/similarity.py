@@ -660,3 +660,129 @@ SELECT CAST(row_number() OVER (
 FROM embeddings
 QUALIFY rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+# embedding space, then drop near-identical vectors WITHIN each cluster,
+# keeping one representative per duplicate group.  The published design
+# is exactly this engine's shape — the cross-cluster problem never
+# materializes because the k-means step bounds each cluster, and the
+# within-cluster pairwise pass is local to one task.  Here the
+# ``label`` column stands in for the k-means assignment (the assignment
+# machinery itself is ``embedding_label_centroids``); twins are planted
+# SQL-reproducibly — an exact copy (vec_id+1M, vid%25==0) and a
+# doubled vector (vec_id+2M, vid%37==0; scaling preserves cosine
+# exactly) — so the DuckDB oracle rebuilds the same augmented corpus
+# with ``list_transform`` and recomputes the survivor set via a
+# recursive-CTE transitive closure.  Decision parity note: both engines
+# compare float64 cosine to 0.95, and the corpus decision margin is
+# enormous (max natural within-label cosine 0.475 at sf0.01; planted
+# twins sit at exactly 1.0), so summation-order ulp noise cannot flip a
+# keep/drop decision.
+# ---------------------------------------------------------------------------
+
+def semantic_augmented_embeddings(sf_dir: str):
+    """embeddings ∪ SQL-reproducible duplicate twins (exact copy +
+    scaled copy), labels inherited so duplicate groups stay within one
+    cluster."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids = list(df["vec_id"].astype(np.int64))
+        vecs = [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+        labs = list(df["label"].astype(np.int32))
+        for vid, v, lab in zip(df["vec_id"].astype(np.int64),
+                               df["embedding"],
+                               df["label"].astype(np.int32)):
+            if vid % 25 == 0:
+                ids.append(int(vid) + 1_000_000)
+                vecs.append(np.asarray(v, dtype=np.float64))
+                labs.append(int(lab))
+            if vid % 37 == 0:
+                ids.append(int(vid) + 2_000_000)
+                vecs.append(np.asarray(v, dtype=np.float64) * 2.0)
+                labs.append(int(lab))
+        return pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                             "embedding": vecs,
+                             "label": np.array(labs, dtype=np.int32)})
+
+    return ds.map_batches(expand, batch_format="pandas")
+
+
+def embedding_semantic_dedup(sf_dir: str, threshold: float = 0.95):
+    """SemDeDup survivor set: (vec_id, label, kept) for the augmented
+    corpus — ``kept`` is False exactly for the non-min members of each
+    within-cluster cosine-duplicate component.  ONE exchange (on the
+    cluster label); the per-cluster task runs a normalized matmul,
+    thresholds, and collapses components with a local union-find —
+    vectors never ride a pair exchange.  Partitioning assumption (the
+    published algorithm's own): cluster sizes are bounded by the
+    k-means k, so the per-task quadratic is a design constant, not a
+    corpus-growth term."""
+    aug = semantic_augmented_embeddings(sf_dir)
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        ids = g["vec_id"].to_numpy(np.int64)
+        e = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g["embedding"]])
+        norms = np.linalg.norm(e, axis=1)
+        norms[norms == 0] = 1.0
+        en = e / norms[:, None]
+        sims = en @ en.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ia, ib):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo          # ids ascending → min-id root
+        kept = np.fromiter((find(int(i)) == i for i in range(len(ids))),
+                           dtype=bool, count=len(ids))
+        return pd.DataFrame({
+            "vec_id": ids,
+            "label": g["label"].to_numpy(np.int32),
+            "kept": kept})
+
+    return aug.groupby("label").map_groups(dedup_cluster,
+                                           batch_format="pandas")
+
+
+# Recursive-CTE transitive closure over the within-label duplicate
+# edges; kept = vec_id equals its component minimum.  Closure size is
+# bounded by the duplicate-group size (≤ 3 here: original + 2 twins).
+SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]), label
+  FROM embeddings WHERE vec_id % 25 = 0
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0),
+         label
+  FROM embeddings WHERE vec_id % 37 = 0),
+edges AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM aug a JOIN aug b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+   AND list_cosine_similarity(a.v, b.v) >= 0.95),
+reach(v, r) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT reach.v, e.vb FROM reach JOIN edges e ON reach.r = e.va)
+SELECT a.vec_id, a.label, (m.root = a.vec_id) AS kept
+FROM aug a
+JOIN (SELECT v, min(r) AS root FROM reach GROUP BY v) m
+  ON m.v = a.vec_id
+"""
