@@ -333,6 +333,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "doc_containment": dedup.doc_containment,
         # similarity search
         "knn_brute_force": similarity.knn_brute_force,
+        # batched retrieval: Q queries, one corpus stream, combiner topk
+        "knn_multi_query": similarity.knn_multi_query,
         "knn_range_search": similarity.knn_range_search,
         "knn_label_predict": similarity.knn_label_predict,
         "knn_lsh": similarity.knn_lsh,
@@ -408,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "knn_brute_force": similarity.KNN_SQL,
+        "knn_multi_query": similarity.KNN_MULTI_SQL,
         "knn_range_search": similarity.KNN_RANGE_SQL,
         "knn_label_predict": similarity.KNN_LABEL_PREDICT_SQL,
         "doc_term_first_pos": textops.DOC_TERM_FIRST_POS_SQL,

@@ -786,3 +786,83 @@ FROM aug a
 JOIN (SELECT v, min(r) AS root FROM reach GROUP BY v) m
   ON m.v = a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-query kNN — the production retrieval shape (a REQUEST
+# BATCH of Q queries against the corpus), versus the single-query
+# operators above.  Scale design: the (Q × dim) query matrix is tiny
+# and broadcasts once via ray.put; each corpus batch computes one
+# (batch × Q) matmul and emits its per-query top-k PARTIAL (≤ Q·k rows
+# per batch — the combiner), and one final per-query fold over the
+# ≤ n_batches·Q·k survivors produces exact global ranks.  No corpus
+# broadcast, no pair exchange; the corpus streams exactly once.
+# ---------------------------------------------------------------------------
+
+def knn_multi_query(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Exact top-k per query for the ``n_queries`` lowest-vec_id
+    embeddings: (query_id, rank, vec_id), rank by (cosine desc, vec_id)
+    — integer-only output, so the oracle comparison never touches the
+    float cosine (the knn_brute_force parity pattern)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    qids = np.sort(np.asarray(
+        pq.read_table(path, columns=["vec_id"])["vec_id"]))[:n_queries]
+    qtab = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<=", int(qids[-1]))])
+    order = np.argsort(np.asarray(qtab["vec_id"], dtype=np.int64))
+    qm = np.stack([np.asarray(qtab["embedding"][int(i)].as_py(),
+                              dtype=np.float64) for i in order])
+    qm = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qref = ray.put((np.asarray(qtab["vec_id"], dtype=np.int64)[order],
+                    qm))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def partial(df: pd.DataFrame, _qref=qref, _k=k) -> pd.DataFrame:
+        qid_arr, qmat = ray.get(_qref)
+        e = _emb_matrix(df)
+        en = e / np.maximum(np.linalg.norm(e, axis=1), 1e-300)[:, None]
+        sims = en @ qmat.T                        # (batch, Q)
+        ids = df["vec_id"].to_numpy(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            top = np.lexsort((ids, -col))[:_k]    # cos desc, vec_id asc
+            out_q.append(np.full(len(top), qid_arr[j], dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(col[top])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_v),
+            "cosine": np.concatenate(out_s)})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        top = g.sort_values(["cosine", "vec_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(_k)
+        return pd.DataFrame({
+            "query_id": top["query_id"].to_numpy(np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vec_id": top["vec_id"].to_numpy(np.int64)})
+
+    return partials.groupby("query_id").map_groups(
+        final, batch_format="pandas")
+
+
+KNN_MULTI_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 8)
+SELECT query_id, rank, vec_id FROM (
+  SELECT q.query_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), qv) DESC,
+                    e.vec_id) AS BIGINT) AS rank,
+         e.vec_id
+  FROM q CROSS JOIN embeddings e) t
+WHERE rank <= 10
+"""
