@@ -233,6 +233,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_by_type":
             textops.events_value_quantiles_by_type,
         "approx_distinct_shingles": textops.approx_distinct_shingles,
+        # windowed sketch: per-day HLL distinct users, tolerance-gated
+        "events_daily_users_hll": textops.events_daily_users_hll,
         "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         # span-offset analogue with a SQL oracle (entity spans over turns
         # cannot be oracled — the driver's DuckDB sees only the sf tables)
@@ -378,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "engine_block_stats": qa.engine_block_stats_sql(),
         "best_variant_extraction": qa.best_variant_sql(),
         "approx_distinct_shingles": textops.APPROX_DISTINCT_SQL,
+        "events_daily_users_hll": textops.EVENTS_DAILY_HLL_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "filter_project_revenue": relational.FILTER_PROJECT_SQL,
         "join_orders_customer_segment": relational.JOIN_SEGMENT_SQL,

@@ -1566,3 +1566,88 @@ SELECT token, n, TRUE AS cms_within_bound FROM (
     FROM documents) t
   GROUP BY token ORDER BY n DESC, token LIMIT 20)
 """
+
+
+def events_daily_users_hll(sf_dir: str):
+    """WINDOWED sketch: per-UTC-day approximate distinct users via
+    per-(batch, day) HyperLogLog sketches merged per day — the sketch ×
+    window composition a streaming 100 TB pipeline runs (the global
+    variant is ``approx_distinct_shingles``).  The exchange moves one
+    4 KB sketch row per (batch, day); the exact side is the
+    ``events_daily_active_users`` bucketed-distinct shape; the bounded
+    (≤ days) per-day joins run driver-side.  Tolerance-gate oracle:
+    (day_start, n_active, hll_within_3sigma) — SQL recomputes the exact
+    per-day distinct and asserts every flag TRUE, so per-window
+    estimator drift turns the driver row red."""
+    import ray.data as rd
+
+    from ..partitioning import buckets_for, table_bytes
+
+    n_b = buckets_for(table_bytes(sf_dir, "events"))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        day = (us // 86_400_000_000) * 86_400
+        uid = df["user_id"].to_numpy(np.int64)
+        days_out, regs_out = [], []
+        for d in np.unique(day):
+            users = np.unique(uid[day == d])
+            days_out.append(int(d))
+            regs_out.append(_hll_registers(str(u) for u in users))
+        return pd.DataFrame({"day_start": np.array(days_out, np.int64),
+                             "regs": regs_out})
+
+    def merge_day(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.zeros(_HLL_M, dtype=np.int8)
+        for r in g["regs"]:
+            np.maximum(merged, np.asarray(r, dtype=np.int8), out=merged)
+        return pd.DataFrame({
+            "day_start": g["day_start"].to_numpy(np.int64)[:1],
+            "est": np.array([_hll_estimate(merged)], np.float64)})
+
+    est = ds.map_batches(sketch, batch_format="pandas") \
+        .groupby("day_start").map_groups(merge_day,
+                                         batch_format="pandas") \
+        .to_pandas()                     # bounded: one row per day
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        t = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day_start": (us // 86_400_000_000) * 86_400})
+        t = t.drop_duplicates()          # per-batch combiner
+        return t.assign(
+            bucket=(t["user_id"].to_numpy() % n_b).astype(np.int32))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["day_start", "user_id"])
+        c = g.groupby("day_start", as_index=False).size()
+        return pd.DataFrame({
+            "day_start": c["day_start"].to_numpy(np.int64),
+            "n_active": c["size"].to_numpy(np.int64)})
+
+    exact = ds.map_batches(key, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas() \
+        .groupby("day_start", as_index=False)["n_active"].sum()
+
+    m = exact.merge(est, on="day_start", how="left").sort_values(
+        "day_start").reset_index(drop=True)
+    tol = 3.0 * (1.04 / np.sqrt(_HLL_M)) * m["n_active"].to_numpy(
+        np.float64)
+    flags = np.abs(m["est"].to_numpy(np.float64)
+                   - m["n_active"].to_numpy(np.float64)) <= tol
+    return pd.DataFrame({
+        "day_start": m["day_start"].to_numpy(np.int64),
+        "n_active": m["n_active"].to_numpy(np.int64),
+        "hll_within_3sigma": flags})
+
+
+EVENTS_DAILY_HLL_SQL = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+       count(DISTINCT user_id) AS n_active,
+       TRUE AS hll_within_3sigma
+FROM events GROUP BY day_start
+"""
