@@ -155,7 +155,7 @@ PINNED_TIER_QUERIES: frozenset[str] = frozenset({
     "payload_coverage_digest", "extract_turns_oracled",
     "assemble_conversations_oracled", "assemble_documents_oracled",
     "extract_turns_sf_oracled", "assemble_conversations_sf_oracled",
-    "dedup_pipeline_oracled",
+    "dedup_pipeline_oracled", "conversation_corpus_pipeline",
 })
 
 
@@ -298,6 +298,10 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "extract_turns_sf_oracled": turn_oracle.extract_turns_sf_oracled,
         "assemble_conversations_sf_oracled":
             turn_oracle.assemble_conversations_sf_oracled,
+        # capstone composite: extraction -> assembly -> gate -> dedup ->
+        # packing as one plan, SQL-re-derived from the oracle export
+        "conversation_corpus_pipeline":
+            turn_oracle.conversation_corpus_pipeline,
         "payload_coverage_digest": qa.payload_coverage_digest,
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_oracled,
@@ -462,6 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_turns_sf_oracled": turn_oracle.extract_turns_sf_sql(),
         "assemble_conversations_sf_oracled":
             turn_oracle.assemble_conversations_sf_sql(),
+        "conversation_corpus_pipeline":
+            turn_oracle.conversation_corpus_sql(),
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_sql(),
         "qa_turn_metrics": qa.qa_turn_metrics_sql(),

@@ -387,3 +387,97 @@ SELECT conv_id, count(*) AS n_turns,
 FROM read_parquet('{scale_turns_parquet()}')
 GROUP BY conv_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Capstone composite: the TRANSCRIPT world's corpus-build pipeline —
+# extraction → conversation assembly → quality gate → exact dedup →
+# sequence packing, as ONE streaming plan over the scale tier, with the
+# whole chain SQL-re-derivable from the exported oracle turns (the
+# documents-table sibling is ``corpus.corpus_build_pipeline``).
+# ---------------------------------------------------------------------------
+
+_CONV_PACK_BUDGET = 50_000       # chars per packed training sequence
+_CONV_MIN_TURNS = 8
+
+
+def conversation_corpus_pipeline(sf_dir: str):
+    """(conv_id, n_turns, content_chars, bin_id, bin_offset) for every
+    conversation that survives the gate (≥ ``_CONV_MIN_TURNS`` turns)
+    and exact sha256 dedup (min conv_id per digest), packed into
+    ``_CONV_PACK_BUDGET``-char training bins by the no-reset prefix rule
+    (``corpus.doc_pack_bins``' parallel-exact packing).  Scale shape:
+    extraction and assembly stream (the salted fold); the gate and the
+    sha-bucketed dedup fold per bucket; the packing prefix runs over the
+    BOUNDED slim conv-stats table (16 bytes/conv — ~1/10^4 of corpus
+    bytes; at true scale swap in doc_pack_bins' two-pass range-bucket
+    scan, implemented at corpus.py:528)."""
+    import zlib
+
+    from ..config import DEFAULT_PIPELINE
+    from ..partitioning import buckets_for
+    from ..sources.transcripts import read_transcripts
+    from ..stages.assemble import assemble_conversations
+    from .extract_pipeline import build_turns_pipeline
+
+    ensure_scale_export()
+    p = buckets_for()
+    turns = build_turns_pipeline(read_transcripts(SCALE_TIER))
+    convs = assemble_conversations(turns, DEFAULT_PIPELINE)
+
+    def gate_and_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_turns"] >= _CONV_MIN_TURNS]
+        return pd.DataFrame({
+            "bucket": np.fromiter(
+                (zlib.crc32(s.encode()) % p for s in df["sha256"]),
+                dtype=np.int32, count=len(df)),
+            "conv_id": df["conv_id"].to_numpy(),
+            "n_turns": df["n_turns"].to_numpy(np.int64),
+            "content_chars": df["content_chars"].to_numpy(np.int64),
+            "sha256": df["sha256"].to_numpy()})
+
+    def dedup_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # all copies of a digest share the bucket → min conv_id is exact
+        g = g.sort_values("conv_id", kind="mergesort") \
+            .drop_duplicates("sha256")
+        return g[["conv_id", "n_turns", "content_chars"]]
+
+    kept = convs.map_batches(gate_and_key, batch_format="pandas") \
+        .groupby("bucket").map_groups(dedup_fold, batch_format="pandas") \
+        .to_pandas()                     # bounded: slim per-conv stats
+
+    kept = kept.sort_values("conv_id", kind="mergesort") \
+        .reset_index(drop=True)
+    chars = kept["content_chars"].to_numpy(np.int64)
+    prefix = np.concatenate(([0], np.cumsum(chars)[:-1]))
+    return pd.DataFrame({
+        "conv_id": kept["conv_id"].to_numpy(),
+        "n_turns": kept["n_turns"].to_numpy(np.int64),
+        "content_chars": chars,
+        "bin_id": prefix // _CONV_PACK_BUDGET,
+        "bin_offset": prefix % _CONV_PACK_BUDGET})
+
+
+def conversation_corpus_sql() -> str:
+    return f"""
+WITH convs AS (
+  SELECT conv_id, count(*) AS n_turns,
+         CAST(sum(content_chars) AS BIGINT) AS content_chars,
+         sha256(string_agg(text_extracted, chr(10) ORDER BY turn_idx))
+           AS sha
+  FROM read_parquet('{scale_turns_parquet()}')
+  GROUP BY conv_id),
+kept AS (
+  SELECT * FROM convs WHERE n_turns >= {_CONV_MIN_TURNS}
+  QUALIFY row_number() OVER (PARTITION BY sha ORDER BY conv_id) = 1),
+p AS (
+  SELECT conv_id, n_turns, content_chars,
+         COALESCE(sum(content_chars) OVER (ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM kept)
+SELECT conv_id, n_turns, content_chars,
+       CAST(prefix // {_CONV_PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(prefix % {_CONV_PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM p
+"""
