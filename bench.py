@@ -101,6 +101,10 @@ BENCH_QUERIES = (
     # round-5: the reworked dedup blocking + the df-aware containment op
     "dedup_ngram_jaccard",
     "doc_containment",
+    # round-5 late adds: SemDeDup + batched retrieval + windowed sketch
+    "embedding_semantic_dedup",
+    "knn_multi_query",
+    "events_daily_users_hll",
 )
 # NOTE: the turns-derived queries (assemble_documents, qa_*,
 # engine_block_stats) re-run the full extraction pipeline per query and
