@@ -363,3 +363,56 @@ def test_bloom_filter_prunes_and_never_drops_members():
     probes = np.arange(10_000_000, 10_100_000, dtype=np.int64)
     fp = bits[_bloom_positions(probes)].all(axis=1).mean()
     assert fp < 0.02
+
+
+def test_png_codec_property_roundtrip():
+    """Property: decode(encode(img, f)) == img for random images across
+    all channel counts and every scanline filter type."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from medical_ocr_pipeline_ray.functions.png import (decode_png,
+                                                        encode_png)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12),
+           st.sampled_from([1, 3, 4]), st.integers(0, 4),
+           st.integers(0, 2**31 - 1))
+    def check(h, w, ch, f, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        got = decode_png(encode_png(img if ch > 1 else img[:, :, 0],
+                                    filter_type=f))
+        assert np.array_equal(got, img)
+
+    check()
+
+
+def test_png_decoder_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from medical_ocr_pipeline_ray.functions.png import (decode_png,
+                                                        encode_png)
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    # truncated scanline payload (IDAT replaced with a shorter stream)
+    import struct
+    import zlib
+    sig = good[:8]
+    bad_idat = zlib.compress(b"\x00" + b"\x00" * 5)   # wrong stride
+    ihdr = good[8:8 + 25]
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    with pytest.raises(ValueError):
+        decode_png(sig + ihdr + chunk(b"IDAT", bad_idat)
+                   + chunk(b"IEND", b""))
+    # unsupported profile: 16-bit depth flagged, not misdecoded
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    with pytest.raises(ValueError):
+        decode_png(sig + chunk(b"IHDR", ihdr16)
+                   + chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+                   + chunk(b"IEND", b""))
