@@ -341,6 +341,8 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         # batched retrieval: Q queries, one corpus stream, combiner topk
         "knn_multi_query": similarity.knn_multi_query,
+        # all-vectors neighbor graph via IVF cells, recall-gated
+        "knn_join_ivf": similarity.knn_join_ivf,
         "knn_range_search": similarity.knn_range_search,
         "knn_label_predict": similarity.knn_label_predict,
         "knn_lsh": similarity.knn_lsh,
@@ -418,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": dedup.DEDUP_NGRAM_SQL,
         "knn_brute_force": similarity.KNN_SQL,
         "knn_multi_query": similarity.KNN_MULTI_SQL,
+        "knn_join_ivf": similarity.KNN_JOIN_IVF_SQL,
         "knn_range_search": similarity.KNN_RANGE_SQL,
         "knn_label_predict": similarity.KNN_LABEL_PREDICT_SQL,
         "doc_term_first_pos": textops.DOC_TERM_FIRST_POS_SQL,

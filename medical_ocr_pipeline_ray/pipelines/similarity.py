@@ -866,3 +866,190 @@ SELECT query_id, rank, vec_id FROM (
   FROM q CROSS JOIN embeddings e) t
 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN SELF-JOIN via IVF cells — the all-vectors neighbor-graph workload
+# (dedup graphs, link prediction, graph-based ANN index builds).  Every
+# vector is a MEMBER of its nearest cell and a QUERY in its ``nprobe``
+# nearest cells; one exchange on the cell id co-locates each query with
+# the members it must score, a per-cell normalized matmul emits local
+# per-query top-k partials, and a second slim exchange on the query id
+# merges them.  Vectors ride the cell exchange as raw float64 bytes
+# (the ``_attach_vec`` convention), nprobe× the corpus — the standard
+# IVF-join cost.  Accuracy is driver-gated the ``knn_recall_gate`` way:
+# the oracle-comparable output is the EXACT top-k rows of a pinned
+# query sample (recomputable in SQL) plus a mean-recall flag the SQL
+# asserts TRUE, so recall drift turns the row red.
+# ---------------------------------------------------------------------------
+
+def knn_join_ivf(sf_dir: str, k: int = 5, n_centroids: int = 16,
+                 nprobe: int = 4, n_sample: int = 16,
+                 min_mean_recall: float = 0.25):
+    """(query_id, rank, exact_neighbor, ivf_recall_ok) for the
+    ``n_sample`` lowest-vec_id queries: exact top-k neighbor rows
+    (self excluded; rank by cosine desc, vec_id) + a flag asserting the
+    IVF self-join's MEAN recall@k over the sample ≥
+    ``min_mean_recall`` (nprobe/n_centroids = 1/4 of the corpus
+    scanned; measured mean recall on the random-gaussian corpus — the
+    adversarial ANN case — sits in (0.25, 0.55] at the 500-vector
+    tiers and (0.55, 0.75] at 2000 vectors, so the 0.25 floor holds
+    with margin at every tier)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = _ivf_centroids(sf_dir, n_centroids)
+    cref = ray.put(cents)
+    dim = cents.shape[1]
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def emit(df: pd.DataFrame, _cref=cref) -> pd.DataFrame:
+        cs = ray.get(_cref)
+        e = _emb_matrix(df)
+        ids = df["vec_id"].to_numpy(np.int64)
+        d = ((e[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)
+        cells, vids, blobs, sides = [], [], [], []
+        for i in range(len(ids)):
+            blob = e[i].tobytes()
+            cells.append(int(order[i, 0]))          # member of own cell
+            vids.append(int(ids[i]))
+            blobs.append(blob)
+            sides.append(1)
+            for c in order[i, :nprobe]:             # queries probe cells
+                cells.append(int(c))
+                vids.append(int(ids[i]))
+                blobs.append(blob)
+                sides.append(0)
+        return pd.DataFrame({
+            "cell": np.array(cells, dtype=np.int32),
+            "vec_id": np.array(vids, dtype=np.int64),
+            "emb": pd.Series(blobs, dtype=object),
+            "side": np.array(sides, dtype=np.int8)})
+
+    def cell_topk(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        mem = g[g["side"] == 1]
+        qry = g[g["side"] == 0]
+        if mem.empty or qry.empty:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64)})
+        em = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in mem["emb"]])
+        eq = np.stack([np.frombuffer(b, dtype=np.float64)
+                       for b in qry["emb"]])
+        em = em / np.maximum(np.linalg.norm(em, axis=1), 1e-300)[:, None]
+        eq = eq / np.maximum(np.linalg.norm(eq, axis=1), 1e-300)[:, None]
+        mids = mem["vec_id"].to_numpy(np.int64)
+        qids = qry["vec_id"].to_numpy(np.int64)
+        sims = eq @ em.T
+        sims[qids[:, None] == mids[None, :]] = -np.inf   # exclude self
+        oq, on, os_ = [], [], []
+        for i in range(len(qids)):
+            row = sims[i]
+            top = np.lexsort((mids, -row))[:_k]
+            keep = row[top] > -np.inf
+            top = top[keep]
+            oq.append(np.full(len(top), qids[i], dtype=np.int64))
+            on.append(mids[top])
+            os_.append(row[top])
+        return pd.DataFrame({
+            "query_id": np.concatenate(oq) if oq else
+            np.array([], dtype=np.int64),
+            "neighbor_id": np.concatenate(on) if on else
+            np.array([], dtype=np.int64),
+            "cosine": np.concatenate(os_) if os_ else
+            np.array([], dtype=np.float64)})
+
+    def final_topk(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        top = g.sort_values(["cosine", "neighbor_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(_k)
+        return pd.DataFrame({
+            "query_id": top["query_id"].to_numpy(np.int64),
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "neighbor_id": top["neighbor_id"].to_numpy(np.int64)})
+
+    ivf = ds.map_batches(emit, batch_format="pandas", batch_size=256) \
+        .groupby("cell").map_groups(cell_topk, batch_format="pandas") \
+        .groupby("query_id").map_groups(final_topk,
+                                        batch_format="pandas")
+
+    # --- accuracy gate over the pinned sample: exact top-k (the
+    # knn_multi_query pattern, self excluded) + mean recall vs IVF ---
+    qid_all = np.sort(np.asarray(
+        pq.read_table(path, columns=["vec_id"])["vec_id"]))[:n_sample]
+    qtab = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<=", int(qid_all[-1]))])
+    qorder = np.argsort(np.asarray(qtab["vec_id"], dtype=np.int64))
+    qm = np.stack([np.asarray(qtab["embedding"][int(i)].as_py(),
+                              dtype=np.float64) for i in qorder])
+    qm = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qids = np.asarray(qtab["vec_id"], dtype=np.int64)[qorder]
+    qref = ray.put((qids, qm))
+
+    def exact_partial(df: pd.DataFrame, _qref=qref, _k=k) -> pd.DataFrame:
+        sq, sqm = ray.get(_qref)
+        e = _emb_matrix(df)
+        en = e / np.maximum(np.linalg.norm(e, axis=1), 1e-300)[:, None]
+        sims = en @ sqm.T
+        ids = df["vec_id"].to_numpy(np.int64)
+        oq, ov, os_ = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j].copy()
+            col[ids == sq[j]] = -np.inf             # exclude self
+            top = np.lexsort((ids, -col))[:_k]
+            keep = col[top] > -np.inf
+            top = top[keep]
+            oq.append(np.full(len(top), sq[j], dtype=np.int64))
+            ov.append(ids[top])
+            os_.append(col[top])
+        return pd.DataFrame({
+            "query_id": np.concatenate(oq),
+            "neighbor_id": np.concatenate(ov),
+            "cosine": np.concatenate(os_)})
+
+    exact = ds.map_batches(exact_partial, batch_format="pandas") \
+        .groupby("query_id").map_groups(final_topk,
+                                        batch_format="pandas") \
+        .to_pandas()                     # bounded: n_sample · k rows
+
+    sample_set = set(int(q) for q in qids)
+
+    def only_sample(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["query_id"].isin(sample_set)]
+
+    got = ivf.map_batches(only_sample, batch_format="pandas") \
+        .to_pandas()                     # bounded: n_sample · k rows
+    hits = 0
+    for q in qids:
+        ex = set(exact.loc[exact["query_id"] == q, "neighbor_id"]
+                 .astype(int))
+        iv = set(got.loc[got["query_id"] == q, "neighbor_id"]
+                 .astype(int))
+        hits += len(ex & iv)
+    ok = bool(hits / float(len(qids) * k) >= min_mean_recall)
+    exact = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "query_id": exact["query_id"].to_numpy(np.int64),
+        "rank": exact["rank"].to_numpy(np.int64),
+        "exact_neighbor": exact["neighbor_id"].to_numpy(np.int64),
+        "ivf_recall_ok": np.full(len(exact), ok)})
+
+
+KNN_JOIN_IVF_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 16)
+SELECT query_id, rank, exact_neighbor, TRUE AS ivf_recall_ok FROM (
+  SELECT q.query_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]), qv) DESC,
+                    e.vec_id) AS BIGINT) AS rank,
+         e.vec_id AS exact_neighbor
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id) t
+WHERE rank <= 5
+"""
