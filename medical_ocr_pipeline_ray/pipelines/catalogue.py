@@ -156,6 +156,7 @@ PINNED_TIER_QUERIES: frozenset[str] = frozenset({
     "assemble_conversations_oracled", "assemble_documents_oracled",
     "extract_turns_sf_oracled", "assemble_conversations_sf_oracled",
     "dedup_pipeline_oracled", "conversation_corpus_pipeline",
+    "conversation_decontaminate",
 })
 
 
@@ -302,6 +303,9 @@ def _catalogue() -> dict[str, Callable[[str], Any]]:
         # packing as one plan, SQL-re-derived from the oracle export
         "conversation_corpus_pipeline":
             turn_oracle.conversation_corpus_pipeline,
+        # SFT-side benchmark decontamination (held-out conv eval split)
+        "conversation_decontaminate":
+            turn_oracle.conversation_decontaminate,
         "payload_coverage_digest": qa.payload_coverage_digest,
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_oracled,
@@ -471,6 +475,8 @@ def oracle_sql() -> dict[str, str]:
             turn_oracle.assemble_conversations_sf_sql(),
         "conversation_corpus_pipeline":
             turn_oracle.conversation_corpus_sql(),
+        "conversation_decontaminate":
+            turn_oracle.conversation_decontaminate_sql(),
         "assemble_conversations_oracled":
             turn_oracle.assemble_conversations_sql(),
         "qa_turn_metrics": qa.qa_turn_metrics_sql(),

@@ -481,3 +481,102 @@ SELECT conv_id, n_turns, content_chars,
        CAST(prefix % {_CONV_PACK_BUDGET} AS BIGINT) AS bin_offset
 FROM p
 """
+
+
+def conversation_decontaminate(sf_dir: str, k: int = 5,
+                               eval_n: int = 20):
+    """Benchmark decontamination over the CONVERSATION corpus — the SFT
+    sibling of ``textops.doc_decontaminate``: flag conversations whose
+    extracted text shares any word ``k``-shingle with a held-out eval
+    split (here the ``eval_n`` lowest-md5 conv_ids, SQL-reproducible;
+    in production an external benchmark file), with the distinct-
+    overlap count.  Same small-side design: the eval shingle set is
+    megabytes against a 100 TB corpus, so it broadcasts once via
+    ``checked_put`` and the corpus streams through a stateless flag map
+    — no conversation ever shuffles for this."""
+    import hashlib
+
+    import ray
+
+    from ..config import DEFAULT_PIPELINE
+    from ..functions.fingerprint import words
+    from ..partitioning import checked_put
+    from ..sources.transcripts import read_transcripts
+    from ..stages.assemble import assemble_conversations
+    from .extract_pipeline import build_turns_pipeline
+    from .relational import local_topk
+
+    ensure_scale_export()
+    turns = build_turns_pipeline(read_transcripts(SCALE_TIER))
+    convs = assemble_conversations(turns, DEFAULT_PIPELINE) \
+        .select_columns(["conv_id", "full_text"]).materialize()
+
+    def hkey(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy(),
+            "hk": [hashlib.md5(c.encode()).hexdigest()
+                   for c in df["conv_id"]]})
+
+    eval_ids = frozenset(
+        local_topk(convs.map_batches(hkey, batch_format="pandas"),
+                   ["hk", "conv_id"], [False, False], eval_n)
+        .to_pandas()["conv_id"])
+
+    def only_eval(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["conv_id"].isin(eval_ids)]
+
+    eval_texts = convs.map_batches(only_eval, batch_format="pandas") \
+        .to_pandas()                     # bounded: eval_n conversations
+
+    def conv_shingles(t: str) -> set:
+        w = words(t)
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    eval_sh = frozenset().union(
+        *map(conv_shingles, eval_texts["full_text"])) if len(eval_texts) \
+        else frozenset()
+    ref = checked_put((eval_ids, eval_sh),
+                      "conversation decontamination eval set")
+
+    def flag(df: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        ids_, sh_ = ray.get(_ref)
+        oc, on = [], []
+        for cid, t in zip(df["conv_id"], df["full_text"]):
+            if cid in ids_:
+                continue
+            n = len(conv_shingles(t) & sh_)
+            if n:
+                oc.append(cid)
+                on.append(n)
+        return pd.DataFrame({
+            "conv_id": pd.Series(oc, dtype=object),
+            "n_overlap": np.array(on, dtype=np.int64)})
+
+    return convs.map_batches(flag, batch_format="pandas")
+
+
+def conversation_decontaminate_sql() -> str:
+    return f"""
+WITH conv AS (
+  SELECT conv_id,
+         string_agg(text_extracted, chr(10) ORDER BY turn_idx) AS t
+  FROM read_parquet('{scale_turns_parquet()}') GROUP BY conv_id),
+ranked AS (
+  SELECT conv_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS w,
+         md5(conv_id) AS hk
+  FROM conv),
+eval_ids AS (SELECT conv_id FROM ranked ORDER BY hk, conv_id LIMIT 20),
+sh AS (
+  SELECT conv_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(w) - 4),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           || ' ' || w[i+4]))) AS s
+  FROM ranked),
+eval_sh AS (
+  SELECT DISTINCT s FROM sh
+  WHERE conv_id IN (SELECT conv_id FROM eval_ids))
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh JOIN eval_sh USING (s)
+WHERE conv_id NOT IN (SELECT conv_id FROM eval_ids)
+GROUP BY conv_id
+"""

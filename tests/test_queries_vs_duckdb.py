@@ -111,6 +111,7 @@ def _compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     "multimodal_png_pixel_hist", "embedding_semantic_dedup",
     "knn_multi_query", "events_daily_users_hll",
     "conversation_corpus_pipeline", "knn_join_ivf",
+    "conversation_decontaminate",
 ])
 def test_query_matches_duckdb(ray_session, con, name):
     from medical_ocr_pipeline_ray.pipelines.catalogue import oracle_sql, queries
