@@ -113,11 +113,18 @@ _BOARD: list[str] = [
     "knn_recall_gate",
     "multimodal_resize",
     "multimodal_pixel_hist",
-    # --- round-5 new oracles ---
+    # --- round-5 new oracles (every oracled query in the catalogue has
+    # a driver row across rounds 1-5 once these go green) ---
     "dedup_pipeline_oracled",
     "extract_turns_sf_oracled",
     "assemble_conversations_sf_oracled",
     "multimodal_png_pixel_hist",
+    "embedding_semantic_dedup",
+    "knn_multi_query",
+    "events_daily_users_hll",
+    "conversation_corpus_pipeline",
+    "knn_join_ivf",
+    "conversation_decontaminate",
     # --- fill: strongest prior greens (flagship parity stays driver-
     # visible every round; dedup_ngram_jaccard re-verifies its round-5
     # prefix-filter blocking rework) ---
@@ -126,14 +133,8 @@ _BOARD: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_exact",
     "corpus_build_pipeline",
-    "q1_pricing_summary",
     "q5_region_revenue",
     "q10_returned_revenue",
-    "events_sessions",
-    "events_hourly_window",
-    "events_asof_attribution",
-    "knn_brute_force",
-    "doc_stats",
     "doc_quality_filter",
     "semi_join_customers_bloom",
     "segment_turns",
